@@ -1,0 +1,298 @@
+"""Emformer — chunked streaming transformer content extractor, from scratch.
+
+The reference wraps ``torchaudio.models.Emformer`` (`/root/reference/modules/
+Emformer/emformer.py:14-23`: input_dim=80, 8 heads, ffn 2048, 6 layers,
+segment=chunk_size//20=4, left_context=50, right_context=2, memory bank
+disabled) plus a Linear(80→100) logit head distilled from HuBERT.
+
+This is a TPU-first reimplementation of those semantics, not a port:
+
+  * offline forward = one dense masked attention over
+    ``[hard-copied right-context blocks ∥ utterance]`` with a static banded
+    block mask (pure iota comparisons, no dynamic shapes) — XLA maps the
+    whole thing onto the MXU;
+  * streaming ``step`` = one compiled function of (params, state, chunk) with
+    a fixed-size left-context K/V cache [L] per layer plus a validity counter
+    (masked attention over the invalid tail) — static shapes, compiled once;
+  * streaming ≡ offline exactly, by construction (same per-position math),
+    property-tested in tests/test_emformer.py.
+
+Per-layer computation (matches torchaudio's EmformerLayer with
+max_memory_size=0, dropout=0, relu):
+    x   = [rc ∥ utt];  xn = LN_in(x)
+    q   = Wq xn;  k,v = Wkv xn  (queries AND keys over [rc ∥ utt])
+    att = softmax(q kᵀ / sqrt(Dh) + mask) v → Wout
+    y   = att + x                    (residual from pre-LN input)
+    y   = FFN_preLN(y) + y           (LN → Linear → relu → Linear)
+    out = LN_out(y)
+Segment s queries attend to: utterance[s·seg−L .. (s+1)·seg) ∥ rc block s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from conan_tpu.nn import inits
+from conan_tpu.nn.module import Params, State
+
+Array = jax.Array
+
+NEG_INF = -1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class EmformerConfig:
+    input_dim: int = 80
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    segment_length: int = 4
+    left_context_length: int = 50
+    right_context_length: int = 2
+    output_dim: int = 100  # distillation head (HuBERT codebook size)
+
+    @classmethod
+    def from_hparams(cls, hp) -> "EmformerConfig":
+        return cls(
+            input_dim=hp.get("emformer_input_dim", 80),
+            num_layers=hp["emformer_layers"],
+            segment_length=hp["chunk_size"] // 20,
+            right_context_length=hp["right_context"],
+            output_dim=hp.get("emformer_output_dim", 100),
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.input_dim // self.num_heads
+
+
+def _layer_norm(x: Array, p: Params, eps: float = 1e-5) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _linear(x: Array, p: Params) -> Array:
+    # torch layout w:[out,in]; HIGHEST precision keeps streaming==offline at
+    # allclose grade on the MXU (bf16 default drifts ~5e-3 between the two
+    # attention shapes, enough to flip content-code argmaxes).
+    return jnp.matmul(x, p["w"].T, precision=jax.lax.Precision.HIGHEST) + p["b"]
+
+
+class Emformer:
+    def __init__(self, cfg: EmformerConfig):
+        self.cfg = cfg
+
+    # ----------------------------------------------------------- params
+    def _init_layer(self, key, gain: float) -> Params:
+        D, F = self.cfg.input_dim, self.cfg.ffn_dim
+        ks = jax.random.split(key, 6)
+
+        def lin(k, o, i, g=1.0):
+            return {"w": inits.xavier_uniform(k, (o, i), gain=g), "b": inits.zeros((o,))}
+
+        def ln(d):
+            return {"scale": inits.ones((d,)), "bias": inits.zeros((d,))}
+
+        return {
+            "q": lin(ks[0], D, D, gain),
+            "kv": lin(ks[1], 2 * D, D, gain),
+            "out": lin(ks[2], D, D, gain),
+            "ln_in": ln(D),
+            "ln_out": ln(D),
+            "ffn_ln": ln(D),
+            "ffn1": lin(ks[3], F, D),
+            "ffn2": lin(ks[4], D, F),
+        }
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, self.cfg.num_layers + 1)
+        layers = [
+            self._init_layer(keys[i], gain=1.0 / math.sqrt(i + 1))
+            for i in range(self.cfg.num_layers)
+        ]
+        return {"layers": layers}
+
+    # ----------------------------------------------------------- offline
+    def _offline_mask(self, n_segs: int) -> np.ndarray:
+        """Static [n_q, n_k] additive mask for the hard-copy arrangement.
+
+        Rows/cols ordered [rc blocks (n_segs*rc) ∥ utterance (n_segs*seg)].
+        """
+        cfg = self.cfg
+        seg, rc, L = cfg.segment_length, cfg.right_context_length, cfg.left_context_length
+        T = n_segs * seg
+        nrc = n_segs * rc
+        q_seg = np.concatenate([np.arange(nrc) // max(rc, 1), np.arange(T) // seg])
+        k_is_rc = np.concatenate([np.ones(nrc, bool), np.zeros(T, bool)])
+        k_seg = np.concatenate([np.arange(nrc) // max(rc, 1), np.arange(T) // seg])
+        k_pos = np.concatenate([np.zeros(nrc), np.arange(T)])  # utt positions only
+        qs = q_seg[:, None]
+        allowed_rc = k_is_rc[None, :] & (k_seg[None, :] == qs)
+        lo = qs * seg - L
+        hi = (qs + 1) * seg
+        allowed_utt = (~k_is_rc[None, :]) & (k_pos[None, :] >= lo) & (k_pos[None, :] < hi)
+        return np.where(allowed_rc | allowed_utt, 0.0, NEG_INF).astype(np.float32)
+
+    def _attention(self, p: Params, x: Array, kx: Array, bias: Array | None) -> Array:
+        """Dense multi-head attention. x: queries source [B,Tq,D], kx: keys
+        source [B,Tk,D], bias: additive [Tq,Tk] or [B,Tq,Tk] or None."""
+        cfg = self.cfg
+        B, Tq, D = x.shape
+        Tk = kx.shape[1]
+        H, Dh = cfg.num_heads, cfg.head_dim
+        q = _linear(x, p["q"]).reshape(B, Tq, H, Dh)
+        kv = _linear(kx, p["kv"])
+        k = kv[..., :D].reshape(B, Tk, H, Dh)
+        v = kv[..., D:].reshape(B, Tk, H, Dh)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (Dh ** -0.5)
+        if bias is not None:
+            if bias.ndim == 2:
+                bias = bias[None, None]
+            else:
+                bias = bias[:, None]
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                       precision=jax.lax.Precision.HIGHEST).reshape(B, Tq, D)
+        return _linear(o, p["out"])
+
+    def _layer(self, p: Params, x: Array, bias: Array | None) -> Array:
+        """One Emformer layer over x = [rc ∥ utt]."""
+        xn = _layer_norm(x, p["ln_in"])
+        att = self._attention(p, xn, xn, bias)
+        y = att + x
+        h = _layer_norm(y, p["ffn_ln"])
+        h = jax.nn.relu(_linear(h, p["ffn1"]))
+        h = _linear(h, p["ffn2"])
+        y = y + h
+        return _layer_norm(y, p["ln_out"])
+
+    def apply(self, params: Params, mel: Array, lengths: Array | None = None) -> Array:
+        """Offline forward. mel [B, T_in, D] where T_in = n_segs*seg + rc
+        (right-context lookahead included, like torchaudio). Returns
+        [B, T_utt, D] utterance features.
+        """
+        cfg = self.cfg
+        seg, rc = cfg.segment_length, cfg.right_context_length
+        B, T_in, D = mel.shape
+        T = T_in - rc
+        assert T % seg == 0, f"utterance length {T} must be a multiple of segment {seg}"
+        n_segs = T // seg
+        utt = mel[:, :T]
+        if rc > 0:
+            # hard-copy right-context blocks: block s = input[(s+1)*seg : +rc]
+            idx = (np.arange(n_segs)[:, None] + 1) * seg + np.arange(rc)[None, :]
+            rc_blocks = mel[:, idx.reshape(-1), :]
+            x = jnp.concatenate([rc_blocks, utt], axis=1)
+        else:
+            x = utt
+        bias = jnp.asarray(self._offline_mask(n_segs))
+        if lengths is not None:
+            # mask keys beyond each sample's valid utterance/rc frames
+            nrc = n_segs * rc
+            utt_len = jnp.maximum(lengths - rc, 0)
+            utt_pos = jnp.arange(T)
+            utt_valid = utt_pos[None, :] < utt_len[:, None]
+            if rc > 0:
+                src = jnp.asarray(idx.reshape(-1))
+                rc_valid = src[None, :] < lengths[:, None]
+                key_valid = jnp.concatenate([rc_valid, utt_valid], axis=1)
+            else:
+                key_valid = utt_valid
+            bias = bias[None] + jnp.where(key_valid, 0.0, NEG_INF)[:, None, :]
+        for lp in params["layers"]:
+            x = self._layer(lp, x, bias)
+        return x[:, n_segs * rc:] if rc > 0 else x
+
+    # ----------------------------------------------------------- streaming
+    def init_state(self, batch: int, dtype=jnp.float32) -> State:
+        cfg = self.cfg
+        L, D = cfg.left_context_length, cfg.input_dim
+        st: State = {"cache_len": jnp.zeros((), jnp.int32)}
+        for i in range(cfg.num_layers):
+            st[f"l{i}.k"] = jnp.zeros((batch, L, D), dtype)
+            st[f"l{i}.v"] = jnp.zeros((batch, L, D), dtype)
+        return st
+
+    def step(self, params: Params, state: State, chunk: Array) -> tuple[Array, State]:
+        """One streaming step. chunk [B, seg+rc, D] (segment then lookahead).
+
+        Returns ([B, seg, D], state'). Equals the corresponding slice of
+        ``apply`` over the full stream (tested invariant).
+        """
+        cfg = self.cfg
+        seg, rc, L, D = (cfg.segment_length, cfg.right_context_length,
+                         cfg.left_context_length, cfg.input_dim)
+        B = chunk.shape[0]
+        u, r = chunk[:, :seg], chunk[:, seg:]
+        x = jnp.concatenate([r, u], axis=1)  # [B, rc+seg, D]
+        cache_len = state["cache_len"]
+        # cache slot j (0..L-1) is valid iff j >= L - cache_len
+        cache_valid = jnp.arange(L) >= (L - cache_len)
+        bias_cache = jnp.where(cache_valid, 0.0, NEG_INF)[None, :]  # [1, L]
+        new_state: State = {"cache_len": jnp.minimum(cache_len + seg, L)}
+        for i, lp in enumerate(params["layers"]):
+            xn = _layer_norm(x, lp["ln_in"])
+            kv_new = _linear(xn, lp["kv"])
+            k_cache, v_cache = state[f"l{i}.k"], state[f"l{i}.v"]
+            H, Dh = cfg.num_heads, cfg.head_dim
+            q = _linear(xn, lp["q"]).reshape(B, rc + seg, H, Dh)
+            k_new = kv_new[..., :D]
+            v_new = kv_new[..., D:]
+            k = jnp.concatenate([k_cache, k_new], axis=1).reshape(B, L + rc + seg, H, Dh)
+            v = jnp.concatenate([v_cache, v_new], axis=1).reshape(B, L + rc + seg, H, Dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+            bias = jnp.concatenate(
+                [jnp.broadcast_to(bias_cache, (1, L)), jnp.zeros((1, rc + seg))], axis=1)
+            logits = logits + bias[None, None]
+            probs = jax.nn.softmax(logits, axis=-1)
+            att = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             precision=jax.lax.Precision.HIGHEST).reshape(B, rc + seg, D)
+            att = _linear(att, lp["out"])
+            y = att + x
+            h = _layer_norm(y, lp["ffn_ln"])
+            h = jax.nn.relu(_linear(h, lp["ffn1"]))
+            y = y + _linear(h, lp["ffn2"])
+            x = _layer_norm(y, lp["ln_out"])
+            # cache the segment rows' K/V (rows rc..rc+seg of kv_new)
+            new_state[f"l{i}.k"] = jnp.concatenate([k_cache, k_new[:, rc:]], axis=1)[:, -L:]
+            new_state[f"l{i}.v"] = jnp.concatenate([v_cache, v_new[:, rc:]], axis=1)[:, -L:]
+        return x[:, rc:], new_state
+
+
+class EmformerDistillModel:
+    """Emformer + Linear logit head (reference `modules/Emformer/emformer.py:6-47`)."""
+
+    def __init__(self, cfg: EmformerConfig):
+        self.cfg = cfg
+        self.emformer = Emformer(cfg)
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        D, O = self.cfg.input_dim, self.cfg.output_dim
+        p = self.emformer.init(k1)
+        kw, kb = jax.random.split(k2)
+        p["proj"] = {"w": inits.kaiming_uniform(kw, (O, D)),
+                     "b": inits.default_bias(kb, (O,), (O, D))}
+        return p
+
+    def apply(self, params: Params, mel: Array, lengths: Array | None = None) -> Array:
+        """[B, T_in, 80] → logits [B, T_utt, output_dim]."""
+        h = self.emformer.apply(params, mel, lengths)
+        return _linear(h, params["proj"])
+
+    def init_state(self, batch: int) -> State:
+        return self.emformer.init_state(batch)
+
+    def step(self, params: Params, state: State, chunk: Array) -> tuple[Array, State]:
+        h, state = self.emformer.step(params, state, chunk)
+        return _linear(h, params["proj"]), state

@@ -23,6 +23,12 @@ from jax import lax
 
 Array = jax.Array
 
+# f32 inputs use full-precision MXU passes by default: the streaming==offline
+# and reference-parity invariants are allclose-grade (SURVEY.md §7 "the
+# allclose target forces f32 accumulation"). Serving paths that quantize to
+# bf16 opt out explicitly by casting inputs.
+DEFAULT_PRECISION = lax.Precision.HIGHEST
+
 _DN_1D = ("NHC", "HIO", "NHC")  # x [B,T,C], w [K,I,O]
 
 
@@ -54,6 +60,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DN_1D,
         feature_group_count=groups,
+        precision=DEFAULT_PRECISION,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     if b is not None:
@@ -120,6 +127,7 @@ def conv_transpose1d(
         padding=[(lo, hi)],
         lhs_dilation=(stride,),
         dimension_numbers=_DN_1D,
+        precision=DEFAULT_PRECISION,
     )
     if b is not None:
         y = y + b
@@ -143,6 +151,7 @@ def conv2d(
         padding=list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        precision=DEFAULT_PRECISION,
     )
     if b is not None:
         y = y + b
