@@ -1,0 +1,163 @@
+"""Streaming voice-conversion engine — the serving hot loop.
+
+Chains the three stages per 80 ms chunk like the reference engine
+(`/root/reference/inference/Conan.py:20-187`) but with O(chunk) incremental
+state instead of the reference's O(T²) full-prefix re-runs:
+
+  reference per chunk:  emformer.infer → append code → re-run FULL-prefix
+                        acoustic model → re-run FULL-prefix vocoder → slice
+  here per chunk:       ONE jitted fused step: emformer KV-cache step →
+                        argmax codes → acoustic chunk step (carried conv
+                        state) → vocoder chunk step (carried conv state)
+
+Prefix-consistency of every stage (property-tested per model) makes the
+incremental output exactly equal the reference's recompute-everything scheme.
+
+All state lives on device between chunks; per chunk exactly one host→device
+transfer (the 6 mel frames) and one device→host transfer (1280 samples).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from conan_tpu.audio.mel import MelConfig, wav2mel_librosa
+from conan_tpu.models.conan.model import Conan, ConanConfig
+from conan_tpu.models.emformer import EmformerConfig, EmformerDistillModel
+from conan_tpu.models.vocoder.hifigan import HifiGanConfig, HifiGanGenerator
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    mel: MelConfig = MelConfig()
+    emformer: EmformerConfig = EmformerConfig()
+    conan: ConanConfig = ConanConfig()
+    vocoder: HifiGanConfig = HifiGanConfig()
+
+    @property
+    def seg(self) -> int:
+        return self.emformer.segment_length
+
+    @property
+    def rc(self) -> int:
+        return self.emformer.right_context_length
+
+
+class StreamingVoiceConversion:
+    """Batched multi-stream engine: B concurrent conversions per step.
+
+    Weights come from three separately trained checkpoints (reference
+    composition, `inference/Conan.py:34-52`)."""
+
+    def __init__(self, cfg: StreamingConfig, emformer_params, conan_params,
+                 conan_vq_state, vocoder_params):
+        self.cfg = cfg
+        self.emformer = EmformerDistillModel(cfg.emformer)
+        self.conan = Conan(cfg.conan)
+        self.vocoder = HifiGanGenerator(cfg.vocoder)
+        self.p_emformer = emformer_params
+        self.p_conan = conan_params
+        self.vq_state = conan_vq_state
+        self.p_vocoder = vocoder_params
+        self._step = jax.jit(self._chunk_step)
+        self._prepare = jax.jit(self._prepare_impl)
+
+    # ------------------------------------------------------------------
+    def _prepare_impl(self, ref_mel: Array) -> dict:
+        return self.conan.prepare_style(self.p_conan, self.vq_state, ref_mel)
+
+    def init_state(self, batch: int) -> dict:
+        return {
+            "emformer": self.emformer.init_state(batch),
+            "conan": self.conan.init_stream_state(batch),
+            "vocoder": self.vocoder.init_state(batch),
+        }
+
+    def _chunk_step(self, state: dict, mel_chunk: Array, style_ctx: dict):
+        """mel_chunk [B, seg+rc, 80] → (wav [B, seg*hop, 1], codes, state')."""
+        logits, em_state = self.emformer.step(self.p_emformer, state["emformer"], mel_chunk)
+        codes = jnp.argmax(logits, axis=-1)  # [B, seg]
+        ret, conan_state = self.conan.stream_step(self.p_conan, state["conan"],
+                                                  codes, style_ctx)
+        wav, voc_state = self.vocoder.step(self.p_vocoder, state["vocoder"],
+                                           ret["mel_out"])
+        return wav, codes, {"emformer": em_state, "conan": conan_state,
+                            "vocoder": voc_state}
+
+    # ------------------------------------------------------------------
+    def wav_to_mel(self, wav: np.ndarray) -> Array:
+        """Feature frontend (reference `_wav_to_mel`, librosa log10-mel).
+        wav [T] or [B, T] → [B, frames, 80]."""
+        if wav.ndim == 1:
+            wav = wav[None]
+        return wav2mel_librosa(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
+
+    def infer_once(self, src_wav: np.ndarray, ref_wav: np.ndarray,
+                   collect_codes: bool = False):
+        """Full streaming conversion of one (or a batch of) utterance(s).
+
+        Like the reference engine, the source mel is computed up-front and
+        consumed chunkwise; the REFERENCE mel is fully available before
+        streaming starts (the paper's structural insight)."""
+        cfg = self.cfg
+        seg, rc = cfg.seg, cfg.rc
+        src_mel = self.wav_to_mel(src_wav)
+        ref_mel = self.wav_to_mel(ref_wav)
+        style_ctx = self._prepare(ref_mel)
+        B, T, _ = src_mel.shape
+        # pad so T is a segment multiple, then add rc lookahead tail by
+        # repeating the last frame (reference tail behavior)
+        T_pad = ((T + seg - 1) // seg) * seg
+        pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
+        mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)  # [B, T_pad+rc, 80]
+        state = self.init_state(B)
+        wav_chunks = []
+        codes_all = []
+        for s in range(0, T_pad, seg):
+            wav, codes, state = self._step(state, mel_ext[:, s:s + seg + rc], style_ctx)
+            wav_chunks.append(wav)
+            if collect_codes:
+                codes_all.append(codes)
+        wav_out = jnp.concatenate(wav_chunks, axis=1)[:, : T * cfg.mel.hop, 0]
+        if collect_codes:
+            return np.asarray(wav_out), np.asarray(jnp.concatenate(codes_all, 1))[:, :T]
+        return np.asarray(wav_out)
+
+    # ------------------------------------------------------------------
+    def infer_offline(self, src_wav: np.ndarray, ref_wav: np.ndarray) -> np.ndarray:
+        """Non-streaming composition of the three stages (for equivalence
+        checks and offline batch conversion)."""
+        cfg = self.cfg
+        seg, rc = cfg.seg, cfg.rc
+        src_mel = self.wav_to_mel(src_wav)
+        ref_mel = self.wav_to_mel(ref_wav)
+        B, T, _ = src_mel.shape
+        T_pad = ((T + seg - 1) // seg) * seg
+        pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
+        mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)
+        logits = self.emformer.apply(self.p_emformer, mel_ext)
+        codes = jnp.argmax(logits, axis=-1)
+        ret = self.conan.apply(self.p_conan, codes, ref=ref_mel,
+                               vq_state=self.vq_state, infer=True,
+                               global_step=200000)
+        wav = self.vocoder.apply(self.p_vocoder, ret["mel_out"])
+        return np.asarray(wav[:, : T * cfg.mel.hop, 0])
+
+
+def random_engine(cfg: StreamingConfig | None = None, seed: int = 0) -> StreamingVoiceConversion:
+    """Engine with random weights — for benchmarks and pipeline tests."""
+    cfg = cfg or StreamingConfig()
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    em = EmformerDistillModel(cfg.emformer)
+    co = Conan(cfg.conan)
+    vo = HifiGanGenerator(cfg.vocoder)
+    return StreamingVoiceConversion(cfg, em.init(k1), co.init(k2),
+                                    co.init_vq_state(k3), vo.init(k4))

@@ -231,15 +231,20 @@ class ProsodyAligner:
 # ---------------------------------------------------------------------------
 
 def group_by_segments(h: Array, group: int) -> Array:
-    """Mean over fixed groups of ``group`` frames (reference
-    group_hidden_by_segs with ids arange(T)//4+1, `utils/nn/seq_utils.py:307`,
-    driver `Conan.py:224-230`). Requires T % group == 0 (pad first).
-    Zero-pad frames don't contribute thanks to the count denominator in the
-    reference; with fixed groups the mean is over all frames — the reference's
-    ids are also uniform so the math matches."""
+    """Mean over consecutive groups of ``group`` frames with a ragged tail
+    (reference group_hidden_by_segs with ids arange(T)//4+1,
+    `utils/nn/seq_utils.py:307`, driver `Conan.py:224-230`): the last group
+    averages over its actual count, like the reference's scatter-count mean."""
     B, T, D = h.shape
-    assert T % group == 0, (T, group)
-    return h.reshape(B, T // group, group, D).mean(axis=2)
+    n_groups = -(-T // group)
+    pad = n_groups * group - T
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+    sums = h.reshape(B, n_groups, group, D).sum(axis=2)
+    counts = np.full((n_groups,), group, np.float32)
+    if pad:
+        counts[-1] = group - pad
+    return sums / jnp.asarray(counts)[None, :, None]
 
 
 class LocalStyleAdaptor:
