@@ -1,0 +1,57 @@
+"""SPMD data parallelism over a device mesh.
+
+TPU-native replacement for the reference's single-host NCCL DDP
+(`/root/reference/utils/commons/trainer.py:116-137,475-495`,
+`utils/commons/ddp_utils.py`): instead of per-rank processes with bucketed
+gradient all-reduce, the train step is jitted over a `jax.sharding.Mesh` with
+the batch sharded on the ``data`` axis and all state replicated — XLA inserts
+the gradient all-reduce (psum over ICI/DCN) automatically. Multi-host: call
+``jax.distributed.initialize()`` first and the same code spans hosts (DCN),
+replacing the reference's localhost-only MASTER_ADDR scheme.
+
+The models are small (10–60 M params), so replication + DP is the right
+parallelism (SURVEY.md §2.4); per-stream decode state stays device-local.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
+    """Place each [B, ...] array batch-sharded over the data axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_train_step(train_step, mesh: Mesh, axis: str = DATA_AXIS,
+                     donate_state: bool = False):
+    """jit a (state, batch, rng) -> (state, metrics) step over the mesh.
+
+    State/rng replicated, batch sharded on ``axis``. Gradients/metrics are
+    averaged across shards by XLA (the loss is already a mean over the global
+    batch once the batch dim is sharded).
+    """
+    rep = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, bshard, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )

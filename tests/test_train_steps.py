@@ -1,0 +1,134 @@
+"""Train-step smoke + DP tests: each task runs compiled steps on the virtual
+8-device CPU mesh with a sharded batch; losses stay finite and decrease is
+not asserted (2 steps) but parameter movement is."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conan_tpu.parallel import make_mesh, replicate, shard_batch, shard_train_step
+from conan_tpu.train.tasks import ConanTask, EmformerTask, VocoderTask
+
+VOC_HP = {
+    "audio_sample_rate": 16000, "hop_size": 320, "fft_size": 1024, "win_size": 1024,
+    "num_mels": 80, "upsample_initial_channel": 16,
+    "upsample_rates": [8, 5, 4, 2], "upsample_kernel_sizes": [16, 10, 8, 4],
+    "resblock": "1", "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3, 5]],
+    "upsample": "shuffle", "lambda_mel": 5.0, "lambda_adv": 1.0,
+    "use_fm_loss": False, "use_ms_stft": True,
+    "stft_loss_param": {"fft_sizes": [512], "hop_sizes": [160], "win_lengths": [512]},
+    "mel_loss_param": {"mel_bin": 320, "fft_sizes": [512], "hop_sizes": [160],
+                       "win_lengths": [512]},
+    "generator_optimizer_params": {"lr": 2e-4},
+    "generator_scheduler_params": {"step_size": 600, "gamma": 0.999},
+    "discriminator_optimizer_params": {"lr": 2e-4},
+    "discriminator_scheduler_params": {"step_size": 600, "gamma": 0.999},
+    "generator_grad_norm": 10.0, "discriminator_grad_norm": 1.0,
+}
+
+CONAN_HP = {
+    "hidden_size": 32, "kernel_size": 3, "audio_num_mel_bins": 80,
+    "content_embedding_dim": 102, "silent_token": 57, "style": True, "nVQ": 16,
+    "vae_dropout": 0.0, "lambda_commit": 0.25, "f0_gen": "orig",
+    "predictor_kernel": 5, "predictor_grad": 1.0, "lambda_f0": 1.0, "lambda_uv": 1.0,
+    "dec_dilations": [1], "dec_kernel_size": 5, "dec_post_net_kernel": 3,
+    "layers_in_block": 1, "dropout": 0.0, "lr": 5e-4, "scheduler": "warmup",
+    "warmup_updates": 4000, "optimizer_adam_beta1": 0.9, "optimizer_adam_beta2": 0.98,
+    "weight_decay": 0.0, "clip_grad_norm": 1.0, "disc_lr": 1e-4,
+    "disc_win_num": 1, "mel_disc_hidden_size": 8,
+    "disc_start_steps": 0, "vq_start": -1, "forcing": 1, "random_speaker_steps": 100000,
+    "lambda_mel_adv": 0.05, "mel_losses": "l1:0.5|ssim:0.5",
+    "discriminator_scheduler_params": {"step_size": 40000, "gamma": 0.5},
+    "discriminator_optimizer_params": {"eps": 1e-6, "weight_decay": 0.0},
+}
+
+EMF_HP = {
+    "emformer_input_dim": 16, "emformer_layers": 2, "chunk_size": 80,
+    "right_context": 2, "emformer_output_dim": 100, "lr": 1e-4,
+    "warmup_steps": 100, "warmup_init_lr": 1e-7, "lr_decay": 0.995,
+    "decay_interval": 2500, "min_lr": 1e-6, "optimizer_adam_beta1": 0.9,
+    "optimizer_adam_beta2": 0.98, "weight_decay": 0.0, "clip_grad_norm": 1.0,
+}
+
+
+def _leaf_delta(a, b):
+    return max(float(jnp.abs(x - y).max()) for x, y in
+               zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_vocoder_train_step(rng):
+    task = VocoderTask(VOC_HP)
+    state = task.init_state(jax.random.PRNGKey(0))
+    B, T = 8, 40
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32)),
+        "wavs": jnp.asarray((rng.standard_normal((B, T * 320)) * 0.1).astype(np.float32)),
+    }
+    mesh = make_mesh(8)
+    step = shard_train_step(task.train_step, mesh)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+    new_state, metrics = step(state_r, batch_s, key)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert {"mel", "a_p", "a_s", "sc", "mag", "r_p", "f_p", "r_s", "f_s"} <= set(metrics)
+    assert _leaf_delta(new_state["params_g"], state["params_g"]) > 0
+    assert int(new_state["step"]) == 1
+
+
+def test_conan_train_step(rng):
+    task = ConanTask(CONAN_HP)
+    state = task.init_state(jax.random.PRNGKey(0))
+    B, T, Tr = 8, 160, 32
+    f0 = (rng.standard_normal((B, T)) * 0.5 + 7.5).astype(np.float32)
+    batch = {
+        "content": jnp.asarray(rng.integers(0, 100, (B, T))),
+        "mels": jnp.asarray((rng.standard_normal((B, T, 80)) * 0.5).astype(np.float32)),
+        "ref_mels": jnp.asarray((rng.standard_normal((B, Tr, 80)) * 0.5).astype(np.float32)),
+        "f0": jnp.asarray(f0),
+        "uv": jnp.asarray((rng.random((B, T)) < 0.25).astype(np.float32)),
+    }
+    mesh = make_mesh(8)
+    step = shard_train_step(task.train_step, mesh)
+    state_r = replicate(state, mesh)
+    new_state, metrics = step(state_r, shard_batch(batch, mesh),
+                              replicate(jax.random.PRNGKey(1), mesh))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert {"l1", "ssim", "fdiff", "uv", "gloss", "vq_loss", "a"} <= set(metrics)
+    assert _leaf_delta(new_state["params_g"], state["params_g"]) > 0
+    # VQ EMA state must advance identically on every replica (psum'd stats)
+    assert _leaf_delta(new_state["vq_state"], state["vq_state"]) > 0
+
+
+def test_conan_vq_kmeans_bootstrap(rng):
+    """Host-side kmeans init path (prosody_util.py:56-65 equivalent)."""
+    task = ConanTask(CONAN_HP)
+    state = task.init_state(jax.random.PRNGKey(0))
+    x = rng.standard_normal((500, CONAN_HP["hidden_size"])).astype(np.float32)
+    vq2 = task.model.prosody.vq.kmeans_init_host(state["vq_state"], x)
+    assert float(vq2["initialized"]) == 1.0
+    assert np.isfinite(np.asarray(vq2["embedding"])).all()
+    assert np.asarray(vq2["ema_count"]).sum() == pytest.approx(500, abs=1)
+
+
+def test_emformer_train_step(rng):
+    task = EmformerTask(EMF_HP)
+    state = task.init_state(jax.random.PRNGKey(0))
+    B, T = 8, 24
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, T + 2, 16)).astype(np.float32)),
+        "content": jnp.asarray(rng.integers(0, 100, (B, T))),
+    }
+    mesh = make_mesh(8)
+    step = shard_train_step(task.train_step, mesh)
+    new_state, metrics = step(replicate(state, mesh), shard_batch(batch, mesh),
+                              replicate(jax.random.PRNGKey(1), mesh))
+    assert np.isfinite(float(metrics["ce"]))
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+    # 2nd step from the new state (jit cache hit)
+    state3, m3 = step(new_state, shard_batch(batch, mesh),
+                      replicate(jax.random.PRNGKey(2), mesh))
+    assert int(state3["step"]) == 2
