@@ -1,0 +1,71 @@
+"""Benchmark: p50 per-chunk end-to-end streaming VC latency on one chip.
+
+Measures the fused 3-stage chunk step (Emformer → Conan acoustic → causal
+shuffle vocoder, production sizes, f32) against the reference's headline
+number: ~80 ms per 80 ms chunk on a CUDA GPU (reference README.md:29,208).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": p50_ms, "unit": "ms", "vs_baseline": 80/p50, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from conan_tpu.infer.streaming import StreamingConfig, random_engine
+
+    t_setup = time.time()
+    eng = random_engine(StreamingConfig(), seed=0)
+    rng = np.random.default_rng(0)
+    hop = eng.cfg.mel.hop
+    sr = eng.cfg.mel.sample_rate
+
+    ref_mel = jnp.asarray(rng.standard_normal((1, 250, 80)).astype(np.float32) * 0.5)
+    style_ctx = eng._prepare(ref_mel)
+    state = eng.init_state(1)
+    n_chunks = 200
+    mel = jnp.asarray(rng.standard_normal((1, n_chunks * 4 + 2, 80)).astype(np.float32) * 0.5)
+
+    # warmup/compile
+    wav, codes, state = eng._step(state, mel[:, :6], style_ctx)
+    jax.block_until_ready(wav)
+    print(f"# compile+warmup {time.time() - t_setup:.1f}s", file=sys.stderr)
+
+    lat = []
+    for i in range(n_chunks):
+        s = (i % (n_chunks - 1)) * 4
+        chunk = mel[:, s:s + 6]
+        t0 = time.perf_counter()
+        wav, codes, state = eng._step(state, chunk, style_ctx)
+        wav.block_until_ready()
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat[5:])  # drop stragglers from first dispatches
+    p50 = float(np.percentile(lat, 50))
+    p95 = float(np.percentile(lat, 95))
+    chunk_ms = 4 * hop / sr * 1000.0  # 80 ms of audio per chunk
+    audio_seconds_per_s = (chunk_ms / 1000.0) / (p50 / 1000.0)
+    print(json.dumps({
+        "metric": "p50 per-chunk end-to-end streaming VC latency",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(80.0 / p50, 2),
+        "extra": {
+            "p95_ms": round(p95, 3),
+            "rtf": round(p50 / chunk_ms, 4),
+            "audio_seconds_per_s_per_stream": round(audio_seconds_per_s, 2),
+            "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

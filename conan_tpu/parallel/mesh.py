@@ -28,10 +28,33 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 
+def pad_batch_to_multiple(batch: dict, n: int) -> dict:
+    """Repeat leading entries so every [B, ...] array has B % n == 0 — the
+    analog of the reference's pad-to-multiple batch-list duplication
+    (`dataset_utils.py:320-323`)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and getattr(v, "ndim", 0) >= 1:
+            B = v.shape[0]
+            r = (-B) % n
+            if r:
+                idx = np.arange(B + r) % B  # wrap-around repeat for tiny batches
+                v = np.asarray(v)[idx]
+        out[k] = v
+    return out
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
-    """Place each [B, ...] array batch-sharded over the data axis."""
+    """Place each [B, ...] array batch-sharded over the data axis. Non-array
+    metadata (names, python ints) is dropped — it must not enter the jitted
+    step. Batches are padded to a device-count multiple."""
+    n = mesh.devices.size
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    out = {}
+    for k, v in pad_batch_to_multiple(batch, n).items():
+        if isinstance(v, (np.ndarray, jax.Array)) and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, sharding)
+    return out
 
 
 def replicate(tree, mesh: Mesh):

@@ -1,0 +1,86 @@
+"""Training CLI — ``python -m conan_tpu.train.run --config <yaml> --exp_name <n>``.
+
+Reference-compatible entry (`/root/reference/tasks/run.py:9-19`): the config's
+``task_cls`` selects the workload; reference task paths are mapped onto the
+conan_tpu tasks. ``--infer`` runs the task's test/inference path.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from conan_tpu.config import set_hparams
+from conan_tpu.data.batching import BucketLadder
+from conan_tpu.data.datasets import ConanDataset, EmformerDataset, VocoderDataset
+from conan_tpu.data.loader import BatchIterator
+from conan_tpu.train.trainer import Trainer
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+log = logging.getLogger("conan_tpu.run")
+
+TASK_ALIASES = {
+    "tasks.Conan.Conan.ConanTask": "conan",
+    "tasks.Emformer.Emformer.EmformerTask": "emformer",
+    "tasks.vocoder.hifigan.HifiGanTask": "vocoder",
+    "conan": "conan", "emformer": "emformer", "vocoder": "vocoder",
+}
+
+
+def build_task(hp):
+    name = TASK_ALIASES.get(hp.get("task_cls", "conan"))
+    if name == "conan":
+        from conan_tpu.train.tasks import ConanTask
+
+        return ConanTask(hp), "conan"
+    if name == "emformer":
+        from conan_tpu.train.tasks import EmformerTask
+
+        return EmformerTask(hp), "emformer"
+    if name == "vocoder":
+        from conan_tpu.train.tasks import VocoderTask
+
+        return VocoderTask(hp), "vocoder"
+    raise ValueError(f"unknown task_cls: {hp.get('task_cls')}")
+
+
+def build_train_iter(hp, kind: str):
+    data_dir = hp["binary_data_dir"]
+    ladder = BucketLadder(min_len=64, max_len=hp.get("max_frames", 3000))
+    if kind == "conan":
+        ds = ConanDataset(data_dir, "train", hp)
+        return iter(BatchIterator(ds, ds.collate, max_tokens=hp.get("max_tokens"),
+                                  max_sentences=hp.get("max_sentences"),
+                                  bucket=ladder))
+    if kind == "emformer":
+        ds = EmformerDataset(data_dir, "train", hp)
+
+        def collate(samples, target_len=None):
+            return ds.collate(samples, target_len,
+                              seg=hp["chunk_size"] // 20, rc=hp["right_context"])
+
+        return iter(BatchIterator(ds, collate, max_tokens=hp.get("max_tokens"),
+                                  max_sentences=hp.get("max_sentences"),
+                                  bucket=ladder))
+    if kind == "vocoder":
+        ds = VocoderDataset(data_dir, "train", hp)
+        return iter(BatchIterator(ds, ds.collate, max_tokens=None,
+                                  max_sentences=hp.get("max_sentences", 16)))
+    raise ValueError(kind)
+
+
+def main(argv=None) -> None:
+    hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
+    task, kind = build_task(hp)
+    static = {}
+    if kind == "conan":
+        static["use_random_ref_after"] = hp.get("random_speaker_steps", 100000)
+    trainer = Trainer(task, hp, hp["work_dir"], static_step_kwargs=static)
+    train_iter = build_train_iter(hp, kind)
+    log.info("starting %s training in %s", kind, hp["work_dir"])
+    trainer.fit(train_iter)
+
+
+if __name__ == "__main__":
+    main()
