@@ -1,0 +1,79 @@
+"""Batch voice-conversion runner.
+
+CLI parity with `/root/reference/inference/run_voice_conversion.py:15-177`:
+iterate a JSON list of {source, reference, output} triples through the
+streaming engine, with per-pair error reporting and an RTF summary.
+
+    python -m conan_tpu.infer.run_vc --pairs pairs.json \
+        --conan_dir checkpoints/conan --emformer_dir checkpoints/emformer \
+        --vocoder_dir checkpoints/hifigan_vc [--offline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+log = logging.getLogger("conan_tpu.run_vc")
+
+
+def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    from scipy.io import wavfile
+
+    wav = np.clip(wav, -1.0, 1.0)
+    wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", required=True, help="JSON list of {source, reference, output}")
+    ap.add_argument("--conan_dir", required=True)
+    ap.add_argument("--emformer_dir", required=True)
+    ap.add_argument("--vocoder_dir", required=True)
+    ap.add_argument("--offline", action="store_true",
+                    help="use the offline 3-stage composition instead of streaming")
+    args = ap.parse_args(argv)
+
+    from conan_tpu.data.binarizer import load_wav
+    from conan_tpu.infer.build import build_engine
+
+    eng = build_engine(args.conan_dir, args.emformer_dir, args.vocoder_dir)
+    sr = eng.cfg.mel.sample_rate
+    pairs = json.load(open(args.pairs))
+    ok, failed = 0, []
+    total_audio, total_wall = 0.0, 0.0
+    for i, pair in enumerate(pairs):
+        try:
+            src = load_wav(pair["source"], sr)
+            ref = load_wav(pair["reference"], sr)
+            t0 = time.time()
+            if args.offline:
+                wav = eng.infer_offline(src, ref)[0]
+            else:
+                wav = eng.infer_once(src, ref)[0]
+            wall = time.time() - t0
+            out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            save_wav(out_path, wav, sr)
+            total_audio += len(wav) / sr
+            total_wall += wall
+            ok += 1
+            log.info("[%d/%d] %s  (%.2fs audio, %.2fs wall)", i + 1, len(pairs),
+                     out_path, len(wav) / sr, wall)
+        except Exception as e:
+            failed.append((pair, str(e)))
+            log.error("[%d/%d] FAILED %s: %s", i + 1, len(pairs), pair, e)
+    log.info("done: %d ok, %d failed, RTF=%.3f", ok, len(failed),
+             total_wall / max(total_audio, 1e-9))
+    if failed:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
