@@ -253,6 +253,49 @@ class ConanTask:
 
 
 # ---------------------------------------------------------------------------
+# Mel-postnet rectified flow (stage 4, reference VCPostnetTask
+# tasks/Conan/Conan.py:328-383: frozen pretrained Conan + trainable postflow)
+# ---------------------------------------------------------------------------
+
+class PostnetTask:
+    def __init__(self, hp, pretrain_params, pretrain_vq_state):
+        from conan_tpu.models.conan.postnet import ConanPostnet, PostnetConfig
+
+        self.hp = hp
+        self.conan_cfg = ConanConfig.from_hparams(hp)
+        self.conan = Conan(self.conan_cfg)
+        self.pretrain_params = jax.lax.stop_gradient(pretrain_params)
+        self.pretrain_vq = pretrain_vq_state
+        self.postnet = ConanPostnet(PostnetConfig.from_hparams(hp))
+        sched = optim.step_lr_schedule(hp["lr"], hp.get("decay_steps", 50000), 0.5)
+        self.opt = optim.adamw(sched, b1=0.9, b2=0.98, eps=1e-9,
+                               clip_norm=hp.get("clip_grad_norm", 1.0))
+
+    def init_state(self, key) -> dict:
+        p = self.postnet.init(key)
+        return {"params": p, "opt": self.opt.init(p),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def _loss(self, params, batch, rng):
+        r1, r2 = jax.random.split(rng)
+        out = self.conan.apply(self.pretrain_params, batch["content"],
+                               ref=batch["ref_mels"], vq_state=self.pretrain_vq,
+                               f0=batch["f0"], uv=batch["uv"], infer=False,
+                               global_step=200000, rng=r1)
+        coarse = jax.lax.stop_gradient(out["mel_out"])
+        dec_inp = jax.lax.stop_gradient(out["decoder_inp"])
+        return self.postnet.loss(params, coarse, dec_inp, batch["mels"], r2)
+
+    def train_step(self, state: dict, batch: dict, rng):
+        loss, grads = jax.value_and_grad(self._loss)(state["params"], batch, rng)
+        ok = _tree_finite(grads)
+        upd, opt_new = self.opt.update(grads, state["opt"], state["params"])
+        params, opt = _gated_update(ok, state["params"], upd, opt_new, state["opt"])
+        return ({"params": params, "opt": opt, "step": state["step"] + 1},
+                {"flow": loss})
+
+
+# ---------------------------------------------------------------------------
 # Emformer distillation
 # ---------------------------------------------------------------------------
 
