@@ -66,12 +66,24 @@ class StreamingVoiceConversion:
         self.p_conan = conan_params
         self.vq_state = conan_vq_state
         self.p_vocoder = vocoder_params
-        self._step = jax.jit(self._chunk_step)
-        self._prepare = jax.jit(self._prepare_impl)
+        # params are EXPLICIT jit arguments: closing over them via self would
+        # bake every weight in as a compile-time constant (observed: 450 s
+        # compiles and 36 ms dispatches through the axon tunnel; with
+        # params-as-args the same step compiles in seconds)
+        self._params = {"emformer": emformer_params, "conan": conan_params,
+                        "vq": conan_vq_state, "vocoder": vocoder_params}
+        self._step_impl = jax.jit(self._chunk_step)
+        self._prepare_jit = jax.jit(self._prepare_impl)
+
+    def _step(self, state, mel_chunk, style_ctx):
+        return self._step_impl(self._params, state, mel_chunk, style_ctx)
+
+    def _prepare(self, ref_mel):
+        return self._prepare_jit(self._params, ref_mel)
 
     # ------------------------------------------------------------------
-    def _prepare_impl(self, ref_mel: Array) -> dict:
-        return self.conan.prepare_style(self.p_conan, self.vq_state, ref_mel)
+    def _prepare_impl(self, params: dict, ref_mel: Array) -> dict:
+        return self.conan.prepare_style(params["conan"], params["vq"], ref_mel)
 
     def init_state(self, batch: int) -> dict:
         return {
@@ -80,13 +92,14 @@ class StreamingVoiceConversion:
             "vocoder": self.vocoder.init_state(batch),
         }
 
-    def _chunk_step(self, state: dict, mel_chunk: Array, style_ctx: dict):
+    def _chunk_step(self, params: dict, state: dict, mel_chunk: Array, style_ctx: dict):
         """mel_chunk [B, seg+rc, 80] → (wav [B, seg*hop, 1], codes, state')."""
-        logits, em_state = self.emformer.step(self.p_emformer, state["emformer"], mel_chunk)
+        logits, em_state = self.emformer.step(params["emformer"], state["emformer"],
+                                              mel_chunk)
         codes = jnp.argmax(logits, axis=-1)  # [B, seg]
-        ret, conan_state = self.conan.stream_step(self.p_conan, state["conan"],
+        ret, conan_state = self.conan.stream_step(params["conan"], state["conan"],
                                                   codes, style_ctx)
-        wav, voc_state = self.vocoder.step(self.p_vocoder, state["vocoder"],
+        wav, voc_state = self.vocoder.step(params["vocoder"], state["vocoder"],
                                            ret["mel_out"])
         return wav, codes, {"emformer": em_state, "conan": conan_state,
                             "vocoder": voc_state}
@@ -152,12 +165,16 @@ class StreamingVoiceConversion:
 
 
 def random_engine(cfg: StreamingConfig | None = None, seed: int = 0) -> StreamingVoiceConversion:
-    """Engine with random weights — for benchmarks and pipeline tests."""
+    """Engine with random weights — for benchmarks and pipeline tests.
+
+    Inits are jitted: one compile + one dispatch instead of hundreds of
+    per-parameter RNG ops (each costing a tunnel round-trip on axon)."""
     cfg = cfg or StreamingConfig()
     k = jax.random.PRNGKey(seed)
     k1, k2, k3, k4 = jax.random.split(k, 4)
     em = EmformerDistillModel(cfg.emformer)
     co = Conan(cfg.conan)
     vo = HifiGanGenerator(cfg.vocoder)
-    return StreamingVoiceConversion(cfg, em.init(k1), co.init(k2),
-                                    co.init_vq_state(k3), vo.init(k4))
+    return StreamingVoiceConversion(
+        cfg, jax.jit(em.init)(k1), jax.jit(co.init)(k2),
+        jax.jit(co.init_vq_state)(k3), jax.jit(vo.init)(k4))

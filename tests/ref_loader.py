@@ -64,6 +64,23 @@ def _install_misc_stubs():
     """utils.audio drags in audio-IO deps unused by the model math
     (pyloudnorm, webrtcvad, skimage); empty stubs let the import chain
     resolve. scipy.ndimage.morphology moved in scipy 1.15+."""
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        tf = types.ModuleType("torchaudio.transforms")
+
+        class _Resample:  # only used for non-16k inputs in rmvpe inference
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        tf.Resample = _Resample
+        ta.transforms = tf
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tf
+    for name in ("pretty_midi", "resampy"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if "pyworld" not in sys.modules:
+        sys.modules["pyworld"] = types.ModuleType("pyworld")
     for name in ("pyloudnorm", "webrtcvad"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
