@@ -70,6 +70,39 @@ def build_train_iter(hp, kind: str):
     raise ValueError(kind)
 
 
+def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
+    """A few fixed validation batches (reference num_sanity_val_steps-style)."""
+    import os
+
+    data_dir = hp["binary_data_dir"]
+    if not os.path.exists(f"{data_dir}/valid_lengths.npy"):
+        return None
+    try:
+        if kind == "conan":
+            from conan_tpu.train.validation import make_conan_valid_fn
+
+            ds = ConanDataset(data_dir, "valid", hp)
+            batches = [ds.collate([ds[i]]) for i in range(min(n_batches, len(ds)))]
+            return make_conan_valid_fn(task, batches, work_dir=hp["work_dir"])
+        if kind == "emformer":
+            from conan_tpu.train.validation import make_emformer_valid_fn
+
+            ds = EmformerDataset(data_dir, "valid", hp)
+            batches = [ds.collate([ds[i]], seg=hp["chunk_size"] // 20,
+                                  rc=hp["right_context"])
+                       for i in range(min(n_batches, len(ds)))]
+            return make_emformer_valid_fn(task, batches)
+        if kind == "vocoder":
+            from conan_tpu.train.validation import make_vocoder_valid_fn
+
+            ds = VocoderDataset(data_dir, "valid", hp)
+            batches = [ds.collate([ds[i]]) for i in range(min(n_batches, len(ds)))]
+            return make_vocoder_valid_fn(task, batches)
+    except Exception as e:  # missing split etc. — validation is optional
+        log.warning("no validation set: %s", e)
+    return None
+
+
 def main(argv=None) -> None:
     hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
     task, kind = build_task(hp)
@@ -78,8 +111,9 @@ def main(argv=None) -> None:
         static["use_random_ref_after"] = hp.get("random_speaker_steps", 100000)
     trainer = Trainer(task, hp, hp["work_dir"], static_step_kwargs=static)
     train_iter = build_train_iter(hp, kind)
+    valid_fn = build_valid_fn(hp, task, kind)
     log.info("starting %s training in %s", kind, hp["work_dir"])
-    trainer.fit(train_iter)
+    trainer.fit(train_iter, valid_fn)
 
 
 if __name__ == "__main__":
