@@ -18,10 +18,18 @@ import numpy as np
 
 
 class RecordReader:
-    def __init__(self, path: str, num_cache: int = 16):
+    def __init__(self, path: str, num_cache: int = 16, use_native: bool = True):
         self.path = path
         idx = np.load(f"{path}.idx", allow_pickle=True).item()
         self.offsets = np.asarray(idx["offsets"], np.int64)
+        self._native = None
+        if use_native:
+            try:
+                from conan_tpu.data._native import NativeReader
+
+                self._native = NativeReader(path)
+            except Exception:
+                self._native = None
         self._fd = os.open(f"{path}.data", os.O_RDONLY)
         self._cache: OrderedDict[int, object] = OrderedDict()
         self.num_cache = num_cache
@@ -35,9 +43,12 @@ class RecordReader:
         if i in self._cache:
             self._cache.move_to_end(i)
             return self._cache[i]
-        n = int(self.offsets[i + 1] - self.offsets[i])
-        buf = os.pread(self._fd, n, int(self.offsets[i]))
-        item = pickle.loads(buf)
+        if self._native is not None:
+            item = pickle.loads(self._native.read_raw(i))
+        else:
+            n = int(self.offsets[i + 1] - self.offsets[i])
+            buf = os.pread(self._fd, n, int(self.offsets[i]))
+            item = pickle.loads(buf)
         if self.num_cache > 0:
             self._cache[i] = item
             while len(self._cache) > self.num_cache:
