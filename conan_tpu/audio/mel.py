@@ -15,6 +15,7 @@ Both are jittable pure functions of [B, T] waveforms, all matmul/conv on MXU.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,32 @@ def wav2mel_librosa(wav: Array, cfg: MelConfig, eps: float = 1e-6) -> Array:
     basis = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     mel = mag @ basis.T
     return jnp.log10(jnp.maximum(eps, mel))
+
+
+def wav2mel_frontend(wav: Array, cfg: MelConfig) -> Array:
+    """Jitted feature frontend used by the serving engine and binarizer.
+
+    On TPU this runs the fused Pallas log-mel kernel (bit-identical to the
+    XLA path, ~1.3× faster); elsewhere the XLA path. Inference/data-prep only
+    (the Pallas kernel has no VJP — training losses use the XLA transform)."""
+    import functools
+
+    return _frontend_jit(wav, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_fn(cfg: MelConfig):
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from conan_tpu.ops.pallas_stft import pallas_wav2mel_librosa
+
+        return jax.jit(lambda w: pallas_wav2mel_librosa(w, cfg))
+    return jax.jit(lambda w: wav2mel_librosa(w, cfg))
+
+
+def _frontend_jit(wav: Array, cfg: MelConfig) -> Array:
+    return _frontend_fn(cfg)(wav)
 
 
 def wav2mel_gan(wav: Array, cfg: MelConfig, clip_val: float = 1e-5) -> Array:

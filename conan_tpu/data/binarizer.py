@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from conan_tpu.audio.mel import MelConfig, wav2mel_librosa
+from conan_tpu.audio.mel import MelConfig, wav2mel_frontend
 from conan_tpu.data.record_store import RecordWriter
 
 log = logging.getLogger(__name__)
@@ -78,7 +78,7 @@ class ConanBinarizer:
         hp = self.hp
         wav_fn = item["wav_fn"]
         wav = load_wav(wav_fn, hp["audio_sample_rate"])
-        mel = np.asarray(wav2mel_librosa(wav[None], self.mel_cfg)[0])
+        mel = np.asarray(wav2mel_frontend(wav[None], self.mel_cfg)[0])
         hubert = item["hubert"]
         content = (np.asarray([float(x) for x in hubert.split()], np.int64)
                    if isinstance(hubert, str) else np.asarray(hubert, np.int64))

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from conan_tpu.audio.mel import MelConfig, wav2mel_librosa
+from conan_tpu.audio.mel import MelConfig, wav2mel_frontend
 from conan_tpu.models.conan.model import Conan, ConanConfig
 from conan_tpu.models.emformer import EmformerConfig, EmformerDistillModel
 from conan_tpu.models.vocoder.hifigan import HifiGanConfig, HifiGanGenerator
@@ -110,7 +110,7 @@ class StreamingVoiceConversion:
         wav [T] or [B, T] → [B, frames, 80]."""
         if wav.ndim == 1:
             wav = wav[None]
-        return wav2mel_librosa(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
+        return wav2mel_frontend(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
 
     def infer_once(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                    collect_codes: bool = False):
