@@ -53,6 +53,23 @@ def main() -> None:
     p95 = float(np.percentile(lat, 95))
     chunk_ms = 4 * hop / sr * 1000.0  # 80 ms of audio per chunk
     audio_seconds_per_s = (chunk_ms / 1000.0) / (p50 / 1000.0)
+
+    # batched multi-stream serving: 8 concurrent conversions per step
+    B = 8
+    state_b = eng.init_state(B)
+    style_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:]), style_ctx)
+    mel_b = jnp.broadcast_to(mel, (B,) + mel.shape[1:])
+    wav, codes, state_b = eng._step(state_b, mel_b[:, :6], style_b)
+    jax.block_until_ready(wav)
+    lat_b = []
+    for i in range(60):
+        s = (i % (n_chunks - 1)) * 4
+        t0 = time.perf_counter()
+        wav, codes, state_b = eng._step(state_b, mel_b[:, s:s + 6], style_b)
+        wav.block_until_ready()
+        lat_b.append((time.perf_counter() - t0) * 1e3)
+    p50_b = float(np.percentile(np.asarray(lat_b[5:]), 50))
+    throughput_b = B * (chunk_ms / 1000.0) / (p50_b / 1000.0)
     print(json.dumps({
         "metric": "p50 per-chunk end-to-end streaming VC latency",
         "value": round(p50, 3),
@@ -62,6 +79,8 @@ def main() -> None:
             "p95_ms": round(p95, 3),
             "rtf": round(p50 / chunk_ms, 4),
             "audio_seconds_per_s_per_stream": round(audio_seconds_per_s, 2),
+            "batch8_p50_ms": round(p50_b, 3),
+            "batch8_audio_seconds_per_s": round(throughput_b, 2),
             "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
         },
     }))

@@ -81,6 +81,46 @@ class StreamingVoiceConversion:
     def _prepare(self, ref_mel):
         return self._prepare_jit(self._params, ref_mel)
 
+    def shard_streams(self, mesh, axis: str = "data") -> None:
+        """Scale-out serving: shard the stream (batch) dimension of every
+        per-chunk input/output over a device mesh, params replicated — N
+        concurrent conversions run data-parallel across chips (SURVEY.md §2.4
+        TPU equivalents: vocoder/style encoder replicated, per-stream state
+        device-resident). Call before ``infer_once`` with B a multiple of the
+        mesh size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(axis))
+
+        def by_rank(x):
+            # batch-dim leaves shard; scalars (e.g. the emformer cache-length
+            # counter) replicate
+            return bsh if getattr(x, "ndim", 0) >= 1 else rep
+
+        n = mesh.devices.size
+        state_t = self.init_state(n)
+        state_sh = jax.tree.map(by_rank, state_t)
+        style_t = jax.eval_shape(self._prepare_impl, self._params,
+                                 jax.ShapeDtypeStruct((n, 8, self.cfg.conan.n_mels),
+                                                      jnp.float32))
+        style_sh = jax.tree.map(by_rank, style_t)
+        seg, rc = self.cfg.seg, self.cfg.rc
+        out_t = jax.eval_shape(
+            self._chunk_step, self._params, state_t,
+            jax.ShapeDtypeStruct((n, seg + rc, self.cfg.conan.n_mels), jnp.float32),
+            style_t)
+        out_sh = jax.tree.map(by_rank, out_t)
+        params_sh = jax.tree.map(lambda x: rep, self._params)
+        self._step_impl = jax.jit(
+            self._chunk_step,
+            in_shardings=(params_sh, state_sh, bsh, style_sh),
+            out_shardings=out_sh,
+        )
+        self._prepare_jit = jax.jit(self._prepare_impl,
+                                    in_shardings=(params_sh, bsh),
+                                    out_shardings=style_sh)
+
     # ------------------------------------------------------------------
     def _prepare_impl(self, params: dict, ref_mel: Array) -> dict:
         return self.conan.prepare_style(params["conan"], params["vq"], ref_mel)

@@ -270,29 +270,45 @@ class Emformer:
 
 
 class EmformerDistillModel:
-    """Emformer + Linear logit head (reference `modules/Emformer/emformer.py:6-47`)."""
+    """Emformer + Linear logit head (reference `modules/Emformer/emformer.py:6-47`).
 
-    def __init__(self, cfg: EmformerConfig):
+    ``mode="both"`` adds the dual heads (100-way codes + 768-dim features,
+    reference `emformer.py:28-30,41-44`)."""
+
+    def __init__(self, cfg: EmformerConfig, mode: str | None = None):
         self.cfg = cfg
+        self.mode = mode
         self.emformer = Emformer(cfg)
 
     def init(self, key) -> Params:
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         D, O = self.cfg.input_dim, self.cfg.output_dim
         p = self.emformer.init(k1)
-        kw, kb = jax.random.split(k2)
-        p["proj"] = {"w": inits.kaiming_uniform(kw, (O, D)),
-                     "b": inits.default_bias(kb, (O,), (O, D))}
+
+        def head(k, o):
+            kw, kb = jax.random.split(k)
+            return {"w": inits.kaiming_uniform(kw, (o, D)),
+                    "b": inits.default_bias(kb, (o,), (o, D))}
+
+        if self.mode == "both":
+            p["proj1"] = head(k2, 100)
+            p["proj2"] = head(k3, 768)
+        else:
+            p["proj"] = head(k2, O)
         return p
 
-    def apply(self, params: Params, mel: Array, lengths: Array | None = None) -> Array:
-        """[B, T_in, 80] → logits [B, T_utt, output_dim]."""
+    def apply(self, params: Params, mel: Array, lengths: Array | None = None):
+        """[B, T_in, 80] → logits [B, T_utt, output_dim] (or the two heads)."""
         h = self.emformer.apply(params, mel, lengths)
+        if self.mode == "both":
+            return _linear(h, params["proj1"]), _linear(h, params["proj2"])
         return _linear(h, params["proj"])
 
     def init_state(self, batch: int) -> State:
         return self.emformer.init_state(batch)
 
-    def step(self, params: Params, state: State, chunk: Array) -> tuple[Array, State]:
+    def step(self, params: Params, state: State, chunk: Array):
         h, state = self.emformer.step(params, state, chunk)
+        if self.mode == "both":
+            return (_linear(h, params["proj1"]), _linear(h, params["proj2"])), state
         return _linear(h, params["proj"]), state

@@ -22,9 +22,11 @@ log = logging.getLogger("conan_tpu.run")
 
 TASK_ALIASES = {
     "tasks.Conan.Conan.ConanTask": "conan",
+    "tasks.Conan.Conan.VCPostnetTask": "postnet",
     "tasks.Emformer.Emformer.EmformerTask": "emformer",
     "tasks.vocoder.hifigan.HifiGanTask": "vocoder",
     "conan": "conan", "emformer": "emformer", "vocoder": "vocoder",
+    "postnet": "postnet",
 }
 
 
@@ -42,6 +44,19 @@ def build_task(hp):
         from conan_tpu.train.tasks import VocoderTask
 
         return VocoderTask(hp), "vocoder"
+    if name == "postnet":
+        import numpy as np
+
+        from conan_tpu.train.checkpoint import load_ckpt_state
+        from conan_tpu.train.tasks import PostnetTask
+
+        pre = load_ckpt_state(hp["fs2_ckpt_dir"])
+        hp2 = hp
+        if hp.get("spec_min") is None:  # load computed dataset stats
+            stats = np.load(f"{hp['binary_data_dir']}/spec_stats.npz")
+            hp2 = hp.replace(spec_min=[float(x) for x in stats["spec_min"]],
+                             spec_max=[float(x) for x in stats["spec_max"]])
+        return PostnetTask(hp2, pre["params_g"], pre.get("vq_state")), "postnet"
     raise ValueError(f"unknown task_cls: {hp.get('task_cls')}")
 
 
@@ -67,6 +82,11 @@ def build_train_iter(hp, kind: str):
         ds = VocoderDataset(data_dir, "train", hp)
         return iter(BatchIterator(ds, ds.collate, max_tokens=None,
                                   max_sentences=hp.get("max_sentences", 16)))
+    if kind == "postnet":
+        ds = ConanDataset(data_dir, "train", hp)
+        return iter(BatchIterator(ds, ds.collate, max_tokens=hp.get("max_tokens"),
+                                  max_sentences=hp.get("max_sentences"),
+                                  bucket=ladder))
     raise ValueError(kind)
 
 

@@ -106,6 +106,45 @@ def vq_state_from_torch(sd: dict, prefix: str) -> dict:
     }
 
 
+def emformer_from_torchaudio(sd: dict, num_layers: int) -> dict:
+    """Map a trained reference Emformer checkpoint (torchaudio
+    ``Emformer`` state_dict under ``emformer.``, plus the ``proj`` head —
+    reference `modules/Emformer/emformer.py:14-30`) onto conan_tpu's
+    Emformer params.
+
+    torchaudio layer names (memory bank disabled → no summary/memory paths):
+      emformer.emformer_layers.{i}.attention.emb_to_query.{weight,bias}
+      emformer.emformer_layers.{i}.attention.emb_to_key_value.*
+      emformer.emformer_layers.{i}.attention.out_proj.*
+      emformer.emformer_layers.{i}.layer_norm_input.* / layer_norm_output.*
+      emformer.emformer_layers.{i}.pos_ff.{0 LN, 1 Linear, 4 Linear}.*
+    The attention math matches 1:1 (queries over [rc ∥ utt], keys the same
+    set, query scaling head_dim^-0.5, pre-LN FFN, output LN) — see
+    conan_tpu.models.emformer docstring. torchaudio is not installed in this
+    image, so this mapping is exercised only when a real checkpoint is
+    supplied."""
+    layers = []
+    for i in range(num_layers):
+        b = f"emformer.emformer_layers.{i}"
+        layers.append({
+            "q": _lin(sd, f"{b}.attention.emb_to_query"),
+            "kv": _lin(sd, f"{b}.attention.emb_to_key_value"),
+            "out": _lin(sd, f"{b}.attention.out_proj"),
+            "ln_in": _ln(sd, f"{b}.layer_norm_input"),
+            "ln_out": _ln(sd, f"{b}.layer_norm_output"),
+            "ffn_ln": _ln(sd, f"{b}.pos_ff.0"),
+            "ffn1": _lin(sd, f"{b}.pos_ff.1"),
+            "ffn2": _lin(sd, f"{b}.pos_ff.4"),
+        })
+    p = {"layers": layers}
+    if "proj.weight" in sd:
+        p["proj"] = _lin(sd, "proj")
+    if "proj1.weight" in sd:
+        p["proj1"] = _lin(sd, "proj1")
+        p["proj2"] = _lin(sd, "proj2")
+    return p
+
+
 def conan_from_torch(sd: dict, cfg) -> tuple[dict, dict | None]:
     """Full reference Conan state_dict (modules/Conan/Conan.py:45-113) →
     (params, vq_state)."""

@@ -41,3 +41,18 @@ def test_streaming_batched(rng):
     # each stream equals its solo run
     solo = eng.infer_once(src[1], ref[1])
     np.testing.assert_allclose(wav[1], solo[0], atol=1e-4)
+
+
+def test_sharded_multi_stream_serving(rng):
+    """8 concurrent streams data-parallel over the 8-device mesh equals the
+    unsharded batched run."""
+    from conan_tpu.parallel import make_mesh
+
+    eng = random_engine(SMALL, seed=2)
+    hop = SMALL.mel.hop
+    src = (rng.standard_normal((8, hop * 12)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((8, hop * 16)) * 0.1).astype(np.float32)
+    wav_plain = eng.infer_once(src, ref)
+    eng.shard_streams(make_mesh(8))
+    wav_sharded = eng.infer_once(src, ref)
+    np.testing.assert_allclose(wav_sharded, wav_plain, atol=1e-5)
