@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from conan_tpu.ops.precision import get_precision as _prec
+
 from conan_tpu.nn import inits
 from conan_tpu.nn.blocks import (ConvBlocks, MultiheadAttention, WaveNet, dropout,
                                  init_layer_norm, init_linear, layer_norm, linear)
@@ -84,7 +86,7 @@ class VQEmbeddingEMA:
         d = (jnp.sum(emb ** 2, 1)[None, None, :]
              + jnp.sum(x ** 2, -1, keepdims=True)
              - 2.0 * jnp.einsum("btd,nd->btn", x, emb,
-                                precision=jax.lax.Precision.HIGHEST))
+                                precision=_prec()))
         idx = jnp.argmin(d, axis=-1)
         return emb[idx], idx
 
@@ -101,7 +103,7 @@ class VQEmbeddingEMA:
         onehot = jax.nn.one_hot(idx.reshape(-1), cfg.n_embeddings)  # [BT, M]
         counts = jnp.sum(onehot, axis=0)
         dw = jnp.einsum("bm,bd->md", onehot, x.reshape(-1, x.shape[-1]),
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_prec())
         n_frames = jnp.asarray(float(idx.size))
         if axis_name is not None:
             counts = jax.lax.psum(counts, axis_name)
@@ -205,7 +207,7 @@ class ProsodyAligner:
             soft_out, soft_attn = self.mha.apply(lp["attn"], out, prosody, prosody,
                                                  pros_key_padding_mask, rng=r1, train=train)
             forced_out = jnp.einsum("bqk,bkh->bqh", forcing_attn, prosody,
-                                    precision=jax.lax.Precision.HIGHEST)
+                                    precision=_prec())
             is_forcing = jnp.asarray(forcing)
             src2 = jnp.where(is_forcing, forced_out, soft_out)
             attn = jnp.where(is_forcing, forcing_attn, soft_attn)

@@ -37,6 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from conan_tpu.ops.precision import get_precision as _prec
+
 from conan_tpu.nn import inits
 from conan_tpu.nn.module import Params, State
 
@@ -81,7 +83,7 @@ def _linear(x: Array, p: Params) -> Array:
     # torch layout w:[out,in]; HIGHEST precision keeps streaming==offline at
     # allclose grade on the MXU (bf16 default drifts ~5e-3 between the two
     # attention shapes, enough to flip content-code argmaxes).
-    return jnp.matmul(x, p["w"].T, precision=jax.lax.Precision.HIGHEST) + p["b"]
+    return jnp.matmul(x, p["w"].T, precision=_prec()) + p["b"]
 
 
 class Emformer:
@@ -150,7 +152,7 @@ class Emformer:
         kv = _linear(kx, p["kv"])
         k = kv[..., :D].reshape(B, Tk, H, Dh)
         v = kv[..., D:].reshape(B, Tk, H, Dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST,
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=_prec(),
                             preferred_element_type=jnp.float32)
         logits = logits * (Dh ** -0.5)
         if bias is not None:
@@ -161,7 +163,7 @@ class Emformer:
             logits = logits + bias
         probs = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                       precision=jax.lax.Precision.HIGHEST).reshape(B, Tq, D)
+                       precision=_prec()).reshape(B, Tq, D)
         return _linear(o, p["out"])
 
     def _layer(self, p: Params, x: Array, bias: Array | None) -> Array:
@@ -249,14 +251,14 @@ class Emformer:
             v_new = kv_new[..., D:]
             k = jnp.concatenate([k_cache, k_new], axis=1).reshape(B, L + rc + seg, H, Dh)
             v = jnp.concatenate([v_cache, v_new], axis=1).reshape(B, L + rc + seg, H, Dh)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST,
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=_prec(),
                                 preferred_element_type=jnp.float32) * (Dh ** -0.5)
             bias = jnp.concatenate(
                 [jnp.broadcast_to(bias_cache, (1, L)), jnp.zeros((1, rc + seg))], axis=1)
             logits = logits + bias[None, None]
             probs = jax.nn.softmax(logits, axis=-1)
             att = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             precision=jax.lax.Precision.HIGHEST).reshape(B, rc + seg, D)
+                             precision=_prec()).reshape(B, rc + seg, D)
             att = _linear(att, lp["out"])
             y = att + x
             h = _layer_norm(y, lp["ffn_ln"])

@@ -19,6 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from conan_tpu.ops.precision import get_precision as _prec
+
 from conan_tpu import ops
 from conan_tpu.nn import inits
 from conan_tpu.nn.module import Params, Stream
@@ -43,7 +45,7 @@ def init_layer_norm(dim: int) -> Params:
 
 
 def linear(x: Array, p: Params) -> Array:
-    y = jnp.matmul(x, p["w"].T, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.matmul(x, p["w"].T, precision=_prec())
     if "b" in p:
         y = y + p["b"]
     return y
@@ -412,21 +414,21 @@ class MultiheadAttention:
         D, H = self.dim, self.h
         Dh = D // H
         W, b = params["in_w"], params["in_b"]
-        qp = jnp.matmul(q, W[:D].T, precision=jax.lax.Precision.HIGHEST) + b[:D]
-        kp = jnp.matmul(k, W[D:2 * D].T, precision=jax.lax.Precision.HIGHEST) + b[D:2 * D]
-        vp = jnp.matmul(v, W[2 * D:].T, precision=jax.lax.Precision.HIGHEST) + b[2 * D:]
+        qp = jnp.matmul(q, W[:D].T, precision=_prec()) + b[:D]
+        kp = jnp.matmul(k, W[D:2 * D].T, precision=_prec()) + b[D:2 * D]
+        vp = jnp.matmul(v, W[2 * D:].T, precision=_prec()) + b[2 * D:]
         B, Tq, _ = qp.shape
         Tk = kp.shape[1]
         qh = qp.reshape(B, Tq, H, Dh)
         kh = kp.reshape(B, Tk, H, Dh)
         vh = vp.reshape(B, Tk, H, Dh)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            precision=jax.lax.Precision.HIGHEST) * (Dh ** -0.5)
+                            precision=_prec()) * (Dh ** -0.5)
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
         probs = jax.nn.softmax(logits, axis=-1)
         if train and rng is not None and self.p > 0:
             probs = dropout(probs, self.p, rng, train)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
-                       precision=jax.lax.Precision.HIGHEST).reshape(B, Tq, D)
+                       precision=_prec()).reshape(B, Tq, D)
         return linear(o, params["out"]), probs.mean(axis=1)

@@ -23,11 +23,10 @@ from jax import lax
 
 Array = jax.Array
 
-# f32 inputs use full-precision MXU passes by default: the streaming==offline
-# and reference-parity invariants are allclose-grade (SURVEY.md §7 "the
-# allclose target forces f32 accumulation"). Serving paths that quantize to
-# bf16 opt out explicitly by casting inputs.
-DEFAULT_PRECISION = lax.Precision.HIGHEST
+# f32 inputs use full-precision MXU passes by default (SURVEY.md §7 "the
+# allclose target forces f32 accumulation"); training jobs can trade down via
+# conan_tpu.ops.precision.precision_scope("default").
+from conan_tpu.ops.precision import get_precision  # noqa: E402
 
 _DN_1D = ("NHC", "HIO", "NHC")  # x [B,T,C], w [K,I,O]
 
@@ -60,7 +59,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DN_1D,
         feature_group_count=groups,
-        precision=DEFAULT_PRECISION,
+        precision=get_precision(),
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     if b is not None:
@@ -127,7 +126,7 @@ def conv_transpose1d(
         padding=[(lo, hi)],
         lhs_dilation=(stride,),
         dimension_numbers=_DN_1D,
-        precision=DEFAULT_PRECISION,
+        precision=get_precision(),
     )
     if b is not None:
         y = y + b
@@ -151,7 +150,7 @@ def conv2d(
         padding=list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=DEFAULT_PRECISION,
+        precision=get_precision(),
     )
     if b is not None:
         y = y + b
