@@ -37,6 +37,12 @@ def get_vocoder_cls(name: str):
 
 register_vocoder("HifiGAN")(HifiGanGenerator)
 
+from conan_tpu.models.vocoder.hifigan_noncausal import NonCausalHifiGanGenerator  # noqa: E402
+from conan_tpu.models.vocoder.hifigan_nsf import NsfHifiGanGenerator  # noqa: E402
+
+register_vocoder("HifiGAN_noncausal")(NonCausalHifiGanGenerator)
+register_vocoder("HifiGAN_NSF")(NsfHifiGanGenerator)
+
 
 def _load_dir_config(ckpt_dir: str) -> HParams:
     cfg_path = os.path.join(ckpt_dir, "config.yaml")

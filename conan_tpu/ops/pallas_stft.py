@@ -95,6 +95,71 @@ def pallas_logmel(wav, *, n_fft: int, hop: int, win_length: int, n_mels: int,
     return out[:, :n_frames]
 
 
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (custom VJP): forward = fused Pallas kernel,
+# backward = the analytic chain in XLA (log → mel → magnitude → DFT →
+# overlap-add). Lets the GAN training mel losses run the fused forward.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def logmel_diff(wav, static: tuple):
+    (n_fft, hop, win_length, n_mels, sample_rate, fmin, fmax, log10,
+     eps_under_sqrt, clip, interpret) = static
+    return pallas_logmel(wav, n_fft=n_fft, hop=hop, win_length=win_length,
+                         n_mels=n_mels, sample_rate=sample_rate, fmin=fmin,
+                         fmax=fmax, log10=log10, center=False,
+                         eps_under_sqrt=eps_under_sqrt, clip=clip,
+                         interpret=interpret)
+
+
+def _logmel_fwd(wav, static):
+    return logmel_diff(wav, static), wav
+
+
+def _logmel_bwd(static, wav, g):
+    (n_fft, hop, win_length, n_mels, sample_rate, fmin, fmax, log10,
+     eps_under_sqrt, clip, _interpret) = static
+    B, T = wav.shape
+    n_frames = (T - n_fft) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = wav[:, idx]                                         # [B, F, n_fft]
+    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length)[:, 0, :])
+    melw = jnp.asarray(mel_filterbank_np(sample_rate, n_fft, n_mels,
+                                         float(fmin), float(fmax))).T
+    n_bins = n_fft // 2 + 1
+    ri = frames @ basis
+    re, im = ri[..., :n_bins], ri[..., n_bins:]
+    mag = jnp.sqrt(re * re + im * im + eps_under_sqrt)
+    mel = mag @ melw
+    g = g[:, :n_frames]
+    if log10:
+        g = g * (1.0 / np.log(10.0))
+    dmel = jnp.where(mel > clip, g / jnp.maximum(mel, clip), 0.0)
+    dmag = dmel @ melw.T
+    scale = dmag / mag
+    dri = jnp.concatenate([scale * re, scale * im], axis=-1)
+    dframes = dri @ basis.T                                      # [B, F, n_fft]
+    # overlap-add (VJP of the gather framing)
+    dwav = jnp.zeros_like(wav)
+    dwav = dwav.at[:, idx.reshape(-1)].add(dframes.reshape(B, -1))
+    return (dwav,)
+
+
+logmel_diff.defvjp(_logmel_fwd, _logmel_bwd)
+
+
+def pallas_wav2mel_gan_diff(wav, cfg, clip_val: float = 1e-5,
+                            interpret: bool = False):
+    """Differentiable GAN-mel transform with the fused Pallas forward —
+    drop-in for audio.mel.wav2mel_gan inside training losses on TPU."""
+    wav = jnp.clip(wav, -1.0, 1.0)
+    p = (cfg.n_fft - cfg.hop) // 2
+    wav = jnp.pad(wav, ((0, 0), (p, p)), mode="reflect")
+    static = (cfg.n_fft, cfg.hop, cfg.win_length, cfg.n_mels, cfg.sample_rate,
+              float(cfg.fmin), float(cfg.fmax), False, 1e-9, clip_val, interpret)
+    return logmel_diff(wav, static)
+
+
 def pallas_wav2mel_librosa(wav, cfg, interpret: bool = False):
     """Drop-in for audio.mel.wav2mel_librosa (log10, constant center pad)."""
     return pallas_logmel(wav, n_fft=cfg.n_fft, hop=cfg.hop, win_length=cfg.win_length,

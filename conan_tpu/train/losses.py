@@ -142,13 +142,25 @@ def multi_res_gan_mel_loss(y: Array, y_hat: Array, sample_rate: int = 16000,
                            mel_bins: int = 320, fft_sizes=(512, 1024, 2048),
                            hop_sizes=(160, 160, 160), win_lengths=(512, 1024, 2048),
                            lambda_mel: float = 5.0) -> Array:
-    """320-bin multi-resolution mel L1 (hifigan_causal.py mel_loss:533-545)."""
+    """320-bin multi-resolution mel L1 (hifigan_causal.py mel_loss:533-545).
+
+    On TPU the transform runs the fused Pallas forward with an analytic
+    custom VJP (ops.pallas_stft.logmel_diff); elsewhere the XLA path."""
+    import jax as _jax
+
+    use_pallas = _jax.default_backend() == "tpu"
+    if use_pallas:
+        from conan_tpu.ops.pallas_stft import pallas_wav2mel_gan_diff
     loss = 0.0
     for f, h, w in zip(fft_sizes, hop_sizes, win_lengths):
         cfg = MelConfig(sample_rate=sample_rate, n_fft=f, hop=h, win_length=w,
                         n_mels=mel_bins, fmin=0.0, fmax=sample_rate / 2)
-        ym = wav2mel_gan(y, cfg)
-        yhm = wav2mel_gan(y_hat, cfg)
+        if use_pallas:
+            ym = pallas_wav2mel_gan_diff(y, cfg)
+            yhm = pallas_wav2mel_gan_diff(y_hat, cfg)
+        else:
+            ym = wav2mel_gan(y, cfg)
+            yhm = wav2mel_gan(y_hat, cfg)
         loss += jnp.mean(jnp.abs(yhm - ym)) * lambda_mel
     return loss
 

@@ -55,7 +55,17 @@ def _gated_update(ok: Array, params, updates, opt_new, opt_old):
 class VocoderTask:
     def __init__(self, hp):
         self.hp = hp
-        self.gen = HifiGanGenerator(HifiGanConfig.from_hparams(hp))
+        gen_type = hp.get("generator_type", "causal")
+        cfg = HifiGanConfig.from_hparams(hp)
+        if gen_type == "causal":
+            self.gen = HifiGanGenerator(cfg)
+        elif gen_type == "noncausal":  # reference tasks/vocoder/hifigan_noncausal.py
+            from conan_tpu.models.vocoder.hifigan_noncausal import \
+                NonCausalHifiGanGenerator
+
+            self.gen = NonCausalHifiGanGenerator(cfg)
+        else:
+            raise ValueError(gen_type)
         self.mpd = MultiPeriodDiscriminator()
         self.msd = MultiScaleDiscriminator()
         gen_sched = optim.step_lr_schedule(
