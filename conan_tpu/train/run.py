@@ -123,8 +123,51 @@ def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
     return None
 
 
+def run_test(hp) -> None:
+    """--infer: convert the test split chunkwise through the composed
+    streaming engine and save wavs (reference ConanTask.test_step,
+    tasks/Conan/Conan.py:214-284)."""
+    import os
+
+    import numpy as np
+
+    from conan_tpu.data.datasets import ConanDataset
+    from conan_tpu.infer.build import build_engine
+    from conan_tpu.infer.run_vc import save_wav
+
+    eng = build_engine(hp["work_dir"], hp["emformer_ckpt"], hp["vocoder_ckpt"], hp)
+    ds = ConanDataset(hp["binary_data_dir"], "test", hp)
+    gen_dir = os.path.join(hp["work_dir"],
+                           f"generated_{hp.get('resume_from_checkpoint', 'last')}")
+    os.makedirs(gen_dir, exist_ok=True)
+    import jax.numpy as jnp
+
+    for i in range(len(ds)):
+        s = ds[i]
+        # codes come from the binarized teacher stream; style from ref mel
+        style = eng._prepare(jnp.asarray(s["ref_mel"][None]))
+        state = eng.init_state(1)
+        T = len(s["content"])
+        seg, rc = eng.cfg.seg, eng.cfg.rc
+        T_pad = -(-T // seg) * seg
+        mel_src = np.pad(s["mel"], ((0, T_pad - T + rc), (0, 0)), mode="edge")
+        chunks = []
+        for t in range(0, T_pad, seg):
+            wav, _codes, state = eng._step(state,
+                                           jnp.asarray(mel_src[None, t:t + seg + rc]),
+                                           style)
+            chunks.append(np.asarray(wav[0, :, 0]))
+        wav_full = np.concatenate(chunks)[: T * hp["hop_size"]]
+        save_wav(os.path.join(gen_dir, f"{s['item_name']}.wav"), wav_full,
+                 hp["audio_sample_rate"])
+        log.info("[%d/%d] %s", i + 1, len(ds), s["item_name"])
+
+
 def main(argv=None) -> None:
     hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
+    if hp.get("infer"):
+        run_test(hp)
+        return
     task, kind = build_task(hp)
     static = {}
     if kind == "conan":
@@ -132,8 +175,12 @@ def main(argv=None) -> None:
     trainer = Trainer(task, hp, hp["work_dir"], static_step_kwargs=static)
     train_iter = build_train_iter(hp, kind)
     valid_fn = build_valid_fn(hp, task, kind)
-    log.info("starting %s training in %s", kind, hp["work_dir"])
-    trainer.fit(train_iter, valid_fn)
+    log.info("starting %s training in %s (precision=%s)", kind, hp["work_dir"],
+             hp.get("train_precision", "highest"))
+    from conan_tpu.ops.precision import precision_scope
+
+    with precision_scope(hp.get("train_precision", "highest")):
+        trainer.fit(train_iter, valid_fn)
 
 
 if __name__ == "__main__":
