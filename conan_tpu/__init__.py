@@ -18,3 +18,26 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first TPU compiles cost ~15-500 s
+    through the remote-compile tunnel; cached re-compiles take ~1 s across
+    processes. Opt out with CONAN_TPU_NO_COMP_CACHE=1."""
+    import os
+
+    if os.environ.get("CONAN_TPU_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("CONAN_TPU_COMP_CACHE",
+                                         os.path.expanduser("~/.cache/jax_comp_cache")))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
