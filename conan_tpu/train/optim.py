@@ -64,9 +64,11 @@ def build_schedule(hp) -> optax.Schedule:
 
 
 def adamw(schedule, *, b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8,
-          weight_decay: float = 0.0, clip_norm: float = 0.0) -> optax.GradientTransformation:
+          weight_decay: float = 0.0, clip_norm: float = 0.0,
+          accumulate_steps: int = 1) -> optax.GradientTransformation:
     """torch.AdamW semantics: decoupled weight decay scaled by lr; optional
-    global-norm clipping (reference clip_grad_norm before step)."""
+    global-norm clipping (reference clip_grad_norm before step) and gradient
+    accumulation (reference accumulate_grad_batches, trainer.py:339,366)."""
     chain = []
     if clip_norm and clip_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_norm))
@@ -74,4 +76,7 @@ def adamw(schedule, *, b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8,
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accumulate_steps and accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx

@@ -77,10 +77,13 @@ class VocoderTask:
             hp["discriminator_scheduler_params"]["step_size"],
             hp["discriminator_scheduler_params"]["gamma"])
         b1, b2 = hp.get("adam_b1", 0.8), hp.get("adam_b2", 0.99)
+        acc = hp.get("accumulate_grad_batches", 1)
         self.opt_g = optim.adamw(gen_sched, b1=b1, b2=b2,
-                                 clip_norm=hp.get("generator_grad_norm", 10.0))
+                                 clip_norm=hp.get("generator_grad_norm", 10.0),
+                                 accumulate_steps=acc)
         self.opt_d = optim.adamw(disc_sched, b1=b1, b2=b2,
-                                 clip_norm=hp.get("discriminator_grad_norm", 1.0))
+                                 clip_norm=hp.get("discriminator_grad_norm", 1.0),
+                                 accumulate_steps=acc)
 
     def init_state(self, key) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -159,18 +162,20 @@ class ConanTask:
         self.mel_disc = MultiWindowDiscriminator(
             time_lengths=tuple([32, 64, 128][: hp.get("disc_win_num", 3)]),
             freq_length=80, hidden=hp.get("mel_disc_hidden_size", 128))
+        acc = hp.get("accumulate_grad_batches", 1)
         self.opt_g = optim.adamw(optim.build_schedule(hp),
                                  b1=hp.get("optimizer_adam_beta1", 0.9),
                                  b2=hp.get("optimizer_adam_beta2", 0.98),
                                  weight_decay=hp.get("weight_decay", 0.0),
-                                 clip_norm=hp.get("clip_grad_norm", 1.0))
+                                 clip_norm=hp.get("clip_grad_norm", 1.0),
+                                 accumulate_steps=acc)
         dsp = hp.get("discriminator_scheduler_params", {"step_size": 40000, "gamma": 0.5})
         dop = hp.get("discriminator_optimizer_params", {"eps": 1e-6, "weight_decay": 0.0})
         self.opt_d = optim.adamw(
             optim.step_lr_schedule(hp.get("disc_lr", 1e-4), dsp["step_size"], dsp["gamma"]),
             b1=hp.get("optimizer_adam_beta1", 0.9), b2=hp.get("optimizer_adam_beta2", 0.98),
             eps=dop.get("eps", 1e-6), weight_decay=dop.get("weight_decay", 0.0),
-            clip_norm=hp.get("clip_grad_norm", 1.0))
+            clip_norm=hp.get("clip_grad_norm", 1.0), accumulate_steps=acc)
 
     def init_state(self, key) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)

@@ -102,6 +102,10 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 17)
         meters: dict[str, AvgMeter] = defaultdict(AvgMeter)
         t_last = time.time()
+        if valid_fn is not None and self.hp.get("num_sanity_val_steps", 0) != 0:
+            # crash-early sanity validation (reference trainer.py:259-261)
+            vm = valid_fn(jax.device_get(state), step)
+            self._log(step, vm, prefix="sanity")
         for batch in train_iter:
             if step >= self.max_updates:
                 break

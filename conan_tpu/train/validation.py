@@ -18,6 +18,29 @@ import jax.numpy as jnp
 from conan_tpu.train import losses as L
 
 
+def _save_mel_plot(work_dir: str, step: int, idx: int, mel_pred: np.ndarray,
+                   mel_gt: np.ndarray) -> None:
+    """gt/pred mel figure (reference plot_mel, speech_base.py:255-270) saved
+    as a PNG under <work_dir>/valid_plots."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    d = os.path.join(work_dir, "valid_plots")
+    os.makedirs(d, exist_ok=True)
+    fig, axes = plt.subplots(2, 1, figsize=(10, 5), sharex=True)
+    axes[0].imshow(mel_gt, origin="lower", aspect="auto")
+    axes[0].set_title("gt")
+    axes[1].imshow(mel_pred, origin="lower", aspect="auto")
+    axes[1].set_title("pred")
+    fig.tight_layout()
+    fig.savefig(os.path.join(d, f"step{step}_b{idx}.png"), dpi=80)
+    plt.close(fig)
+
+
 def make_emformer_valid_fn(task, valid_batches: list[dict]):
     def valid_fn(state, step: int) -> dict:
         ce_sum, acc_sum, n = 0.0, 0.0, 0
@@ -54,6 +77,10 @@ def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None
             for k, v in losses.items():
                 metrics[k] = metrics.get(k, 0.0) + float(v)
             n += 1
+            if work_dir is not None and bi < num_plots:
+                _save_mel_plot(work_dir, step, bi,
+                               np.asarray(out["mel_out"][0]).T,
+                               np.asarray(batch["mels"][0]).T)
             if vocoder is not None and bi < num_plots and work_dir is not None:
                 wav = vocoder.apply(vocoder_params, out["mel_out"][:1])
                 d = os.path.join(work_dir, "valid_wavs")
