@@ -43,9 +43,12 @@ def main(argv=None) -> None:
     from conan_tpu.data.binarizer import load_wav
     from conan_tpu.infer.build import build_engine
 
+    from conan_tpu.utils.async_save import AsyncSaver
+
     eng = build_engine(args.conan_dir, args.emformer_dir, args.vocoder_dir)
     sr = eng.cfg.mel.sample_rate
     pairs = json.load(open(args.pairs))
+    saver = AsyncSaver()
     ok, failed = 0, []
     total_audio, total_wall = 0.0, 0.0
     for i, pair in enumerate(pairs):
@@ -60,7 +63,7 @@ def main(argv=None) -> None:
             wall = time.time() - t0
             out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-            save_wav(out_path, wav, sr)
+            saver.submit(save_wav, out_path, wav, sr)
             total_audio += len(wav) / sr
             total_wall += wall
             ok += 1
@@ -69,6 +72,7 @@ def main(argv=None) -> None:
         except Exception as e:
             failed.append((pair, str(e)))
             log.error("[%d/%d] FAILED %s: %s", i + 1, len(pairs), pair, e)
+    saver.close()
     log.info("done: %d ok, %d failed, RTF=%.3f", ok, len(failed),
              total_wall / max(total_audio, 1e-9))
     if failed:

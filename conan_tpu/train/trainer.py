@@ -64,6 +64,34 @@ class Trainer:
             self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
         except Exception:
             pass
+        self.valid_monitor_key = hp.get("valid_monitor_key", "val_loss")
+        self.save_best = hp.get("save_best", False)
+        self._best = float("inf")
+        self._snapshot_code()
+
+    def _snapshot_code(self) -> None:
+        """Archive the framework + configs into the exp dir (reference
+        save_codes rsync, trainer.py:543-559) — once per work_dir."""
+        import shutil
+
+        dst = os.path.join(self.work_dir, "codes.zip")
+        if os.path.exists(dst):
+            return
+        try:
+            import conan_tpu
+
+            pkg_root = os.path.dirname(os.path.dirname(conan_tpu.__file__))
+            tmp = os.path.join(self.work_dir, "_codes_tmp")
+            os.makedirs(tmp, exist_ok=True)
+            for name in ("conan_tpu", "egs"):
+                src = os.path.join(pkg_root, name)
+                if os.path.isdir(src):
+                    shutil.copytree(src, os.path.join(tmp, name), dirs_exist_ok=True,
+                                    ignore=shutil.ignore_patterns("__pycache__", "*.so"))
+            shutil.make_archive(dst[:-4], "zip", tmp)
+            shutil.rmtree(tmp)
+        except Exception as e:
+            log.warning("code snapshot failed: %s", e)
 
     # ------------------------------------------------------------------
     def _get_step_fn(self, **static_kwargs):
@@ -129,10 +157,20 @@ class Trainer:
                          " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
                 meters.clear()
             if step % self.val_check_interval == 0:
+                host_state = jax.device_get(state)
                 if valid_fn is not None:
-                    vm = valid_fn(jax.device_get(state), step)
+                    vm = valid_fn(host_state, step)
                     self._log(step, vm, prefix="val")
-                save_checkpoint(self.work_dir, step, jax.device_get(state),
+                    monitored = vm.get(self.valid_monitor_key,
+                                       sum(vm.values()) if vm else None)
+                    if (self.save_best and monitored is not None
+                            and monitored < self._best):
+                        # reference model_ckpt_best.pt (trainer.py:431-449)
+                        self._best = monitored
+                        save_checkpoint(self.work_dir, step, host_state,
+                                        hp if isinstance(hp, dict) else hp.to_dict(),
+                                        num_keep=1, prefix="model_ckpt_best")
+                save_checkpoint(self.work_dir, step, host_state,
                                 hp if isinstance(hp, dict) else hp.to_dict(),
                                 num_keep=self.num_ckpt_keep)
         final = jax.device_get(state)
