@@ -61,9 +61,7 @@ def wav2mel_frontend(wav: Array, cfg: MelConfig) -> Array:
 
     On TPU this runs the fused Pallas log-mel kernel (bit-identical to the
     XLA path, ~1.3× faster); elsewhere the XLA path. Inference/data-prep only
-    (the Pallas kernel has no VJP — training losses use the XLA transform)."""
-    import functools
-
+    (training losses use the differentiable transforms)."""
     return _frontend_jit(wav, cfg)
 
 

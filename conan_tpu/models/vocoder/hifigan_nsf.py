@@ -111,7 +111,6 @@ class NsfHifiGanGenerator(NonCausalHifiGanGenerator):
             if har is not None:
                 nc = params["noise_convs"][i]
                 stride = nc["stride"]
-                kk = nc["conv"]["w"].shape[-1]
                 pad = stride // 2 if stride > 1 else 0
                 xs_src = ops.conv1d(har, nc["conv"]["w"], nc["conv"]["b"],
                                     stride=stride, padding=(pad, pad))
