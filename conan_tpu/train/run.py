@@ -65,7 +65,14 @@ def build_train_iter(hp, kind: str):
     ladder = BucketLadder(min_len=64, max_len=hp.get("max_frames", 3000))
     if kind == "conan":
         ds = ConanDataset(data_dir, "train", hp)
-        return iter(BatchIterator(ds, ds.collate, max_tokens=hp.get("max_tokens"),
+
+        def collate_conan(samples, target_len=None):
+            # bucket the REF mel length too — otherwise every distinct
+            # reference length is a fresh XLA compile
+            ref_max = max(s["ref_mel"].shape[0] for s in samples)
+            return ds.collate(samples, target_len, ladder.fit(ref_max))
+
+        return iter(BatchIterator(ds, collate_conan, max_tokens=hp.get("max_tokens"),
                                   max_sentences=hp.get("max_sentences"),
                                   bucket=ladder))
     if kind == "emformer":
@@ -84,7 +91,12 @@ def build_train_iter(hp, kind: str):
                                   max_sentences=hp.get("max_sentences", 16)))
     if kind == "postnet":
         ds = ConanDataset(data_dir, "train", hp)
-        return iter(BatchIterator(ds, ds.collate, max_tokens=hp.get("max_tokens"),
+
+        def collate_post(samples, target_len=None):
+            ref_max = max(s["ref_mel"].shape[0] for s in samples)
+            return ds.collate(samples, target_len, ladder.fit(ref_max))
+
+        return iter(BatchIterator(ds, collate_post, max_tokens=hp.get("max_tokens"),
                                   max_sentences=hp.get("max_sentences"),
                                   bucket=ladder))
     raise ValueError(kind)
