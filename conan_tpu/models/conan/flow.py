@@ -237,6 +237,54 @@ class RectifiedFlow:
         return x
 
 
+class StreamingRectifiedFlow:
+    """Chunkwise rectified-flow sampling.
+
+    The offline sampler integrates the whole utterance jointly; because the
+    denoiser is strictly causal, frame i's Euler trajectory depends only on
+    frames ≤ i — so carrying, for EACH of the K Euler steps, the denoiser's
+    conv input tails from the previous chunk reproduces the offline
+    trajectory exactly (given the same per-frame initial noise). State is the
+    K-stacked DiffNet conv-carry pytree, scanned over.
+    """
+
+    def __init__(self, flow: "RectifiedFlow"):
+        self.flow = flow
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        base = self.flow.net.init_state(batch, prefix="dn", dtype=dtype)
+        K = self.flow.cfg.k_step
+        return {k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in base.items()}
+
+    def step(self, params: Params, conv_states: dict, cond_chunk: Array,
+             x0_chunk: Array, dyn_clip=None) -> tuple[Array, dict]:
+        """cond [B, Tc, H], x0 [B, Tc, C] → (x1 [B, Tc, C], states')."""
+        K, T_steps = self.flow.cfg.k_step, self.flow.cfg.timesteps
+        sample_clip = self.flow.cfg.sample_clip
+        net = self.flow.net
+
+        def body(x, xs):
+            i, state_k = xs
+            t_cont = i.astype(jnp.float32) / K
+            t_idx = (t_cont * T_steps).astype(jnp.int32)
+            t_b = jnp.full((x.shape[0],), t_idx, jnp.int32)
+            s = Stream(state_k)
+            ut = net.apply(params, x, t_b, cond_chunk, stream=s, prefix="dn")
+            if sample_clip:
+                tq = t_idx.astype(jnp.float32) / T_steps
+                x_recon = (1.0 - tq) * ut + x
+                if dyn_clip is not None:
+                    x_recon = jnp.clip(x_recon, dyn_clip[0], dyn_clip[1])
+                else:
+                    x_recon = jnp.clip(x_recon, -1.0, 1.0)
+                ut = (x_recon - x) / jnp.maximum(1.0 - tq, 1e-8)
+            return x + ut / K, s.new_state
+
+        x, new_states = jax.lax.scan(body, x0_chunk,
+                                     (jnp.arange(K), conv_states))
+        return x, new_states
+
+
 def minmax_norm_f0(x: Array, uv: Array | None = None) -> Array:
     """log2-F0 → [-1, 1] (reference add_flow_pitch, Conan.py:428-437)."""
     y = (x - 6.0) / 4.0 * 2.0 - 1.0

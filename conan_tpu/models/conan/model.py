@@ -31,8 +31,8 @@ from conan_tpu.nn.blocks import (ConvBlocks, PitchPredictor, dropout, embedding,
 from conan_tpu.nn.module import Params, State, Stream
 from conan_tpu import ops
 from conan_tpu.models.conan.flow import (DiffNet, DiffNetConfig, RectifiedFlow,
-                                         ReflowConfig, minmax_denorm_f0,
-                                         minmax_norm_f0)
+                                         ReflowConfig, StreamingRectifiedFlow,
+                                         minmax_denorm_f0, minmax_norm_f0)
 from conan_tpu.models.conan.prosody import LocalStyleAdaptor, ProsodyAligner
 
 Array = jax.Array
@@ -114,6 +114,7 @@ class Conan:
             self.f0_flow = RectifiedFlow(self.f0_net, ReflowConfig(
                 timesteps=cfg.f0_timesteps, k_step=cfg.f0_k_step,
                 sample_clip=cfg.f0_sample_clip))
+            self.f0_stream = StreamingRectifiedFlow(self.f0_flow)
 
     # ----------------------------------------------------------- params
     def init(self, key) -> Params:
@@ -313,18 +314,26 @@ class Conan:
                                                      self.cfg.kernel_size, 1, dtype)
         st.update(self.uv_predictor.init_state(batch, "pp", dtype))
         st.update(self.decoder.init_state(batch, dtype))
+        if self.cfg.f0_gen == "flow":
+            # per-Euler-step denoiser conv carries, K-stacked
+            st["f0_flow"] = self.f0_stream.init_state(batch, dtype)
         return st
 
     def stream_step(self, params: Params, state: State, content_chunk: Array,
-                    style_ctx: dict) -> tuple[dict, State]:
+                    style_ctx: dict, f0_noise: Array | None = None) -> tuple[dict, State]:
         """One causal chunk step: [B, Tc] codes → mel chunk [B, Tc, 80].
 
         Exactly equals the corresponding slice of ``apply(infer=True)`` (the
         aligner is per-query, every other op is causal) — replaces the
         reference's full-prefix re-run (`inference/Conan.py:129-145`).
-        Only f0_gen='orig' streams; 'flow' needs per-ODE-step conv carries.
+
+        f0_gen='flow' streams too: the rectified-flow Euler integration runs
+        chunkwise with per-Euler-step denoiser conv carries
+        (StreamingRectifiedFlow); pass this chunk's slice of the utterance
+        initial noise as ``f0_noise`` [B, Tc, 1] (defaults to zeros, which is
+        deterministic but not distribution-matched — supply real noise in
+        production).
         """
-        assert self.cfg.f0_gen == "orig", "streaming supports f0_gen='orig'"
         cfg = self.cfg
         s = Stream(state)
         ret: dict = {}
@@ -338,9 +347,22 @@ class Conan:
                 params["aligner"], pitch_inp, style_ctx["prosody"], src_pad,
                 style_ctx["prosody_pad"], forcing=False)
             pitch_inp = pitch_inp + aligned
-        f0_out, uv_out = self._pitch_orig(params, pitch_inp, None, None,
-                                          content_chunk, ret, infer=True,
-                                          stream=s, rng=None, train=False)
+        if cfg.f0_gen == "flow":
+            uv_pred = self.uv_predictor.apply(params["uv_predictor"], pitch_inp,
+                                              stream=s)
+            ret["uv_pred"] = uv_pred
+            uv_b = jnp.logical_or(uv_pred[:, :, 0] > 0,
+                                  content_chunk == cfg.silent_token)
+            x0 = f0_noise if f0_noise is not None else                 jnp.zeros((*pitch_inp.shape[:2], 1))
+            f0_norm, new_flow_state = self.f0_stream.step(
+                params["f0_net"], state["f0_flow"], pitch_inp, x0)
+            s.new_state["f0_flow"] = new_flow_state
+            f0_out = minmax_denorm_f0(f0_norm[..., 0], uv_b)
+            uv_out = uv_b.astype(jnp.float32)
+        else:
+            f0_out, uv_out = self._pitch_orig(params, pitch_inp, None, None,
+                                              content_chunk, ret, infer=True,
+                                              stream=s, rng=None, train=False)
         f0_denorm = denorm_f0(f0_out, uv_out)
         ret["f0_denorm_pred"] = f0_denorm
         pe = embedding(f0_to_coarse(f0_denorm), params["pitch_embed"])

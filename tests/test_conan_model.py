@@ -145,3 +145,30 @@ def test_streaming_equals_offline():
     mel_str = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(mel_str), np.asarray(ret_off["mel_out"]),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_streaming_equals_offline_flow_f0():
+    """f0_gen='flow': chunkwise Euler with per-step conv carries reproduces
+    the offline rectified-flow trajectory (shared initial noise)."""
+    _, model, params, vq_state, cfg = _build(f0_gen="flow", seed=5)
+    content, ref, _, _ = _data(seed=5, T=16)
+    B, T = content.shape
+    rng_np = np.random.default_rng(55)
+    noise = jnp.asarray(rng_np.standard_normal((B, T, 1)).astype(np.float32))
+    ret_off = model.apply(params, jnp.asarray(content), ref=jnp.asarray(ref),
+                          vq_state=vq_state, infer=True, global_step=200000,
+                          initial_noise=noise)
+    style_ctx = model.prepare_style(params, vq_state, jnp.asarray(ref))
+    state = model.init_stream_state(B)
+    outs, f0s = [], []
+    for s in range(0, T, 4):
+        ret_c, state = model.stream_step(params, state,
+                                         jnp.asarray(content[:, s:s + 4]),
+                                         style_ctx, f0_noise=noise[:, s:s + 4])
+        outs.append(ret_c["mel_out"])
+        f0s.append(ret_c["f0_denorm_pred"])
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(f0s, 1)),
+                               np.asarray(ret_off["f0_denorm_pred"]),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(ret_off["mel_out"]), atol=1e-4, rtol=1e-3)
