@@ -70,6 +70,19 @@ def main() -> None:
         lat_b.append((time.perf_counter() - t0) * 1e3)
     p50_b = float(np.percentile(np.asarray(lat_b[5:]), 50))
     throughput_b = B * (chunk_ms / 1000.0) / (p50_b / 1000.0)
+
+    # pure device time per chunk: 100 chunks scanned on-device (no host
+    # dispatch) — the hardware-limit number
+    N = 100
+    chunks = jnp.stack([mel[:, (i % (n_chunks - 1)) * 4:(i % (n_chunks - 1)) * 4 + 6]
+                        for i in range(N)])
+    st = eng.init_state(1)
+    wavs, _codes, st = eng.stream_scan(st, chunks, style_ctx)
+    jax.block_until_ready(wavs)
+    t0 = time.perf_counter()
+    wavs, _codes, st = eng.stream_scan(st, chunks, style_ctx)
+    jax.block_until_ready(wavs)
+    device_chunk_ms = (time.perf_counter() - t0) / N * 1e3
     print(json.dumps({
         "metric": "p50 per-chunk end-to-end streaming VC latency",
         "value": round(p50, 3),
@@ -81,6 +94,7 @@ def main() -> None:
             "audio_seconds_per_s_per_stream": round(audio_seconds_per_s, 2),
             "batch8_p50_ms": round(p50_b, 3),
             "batch8_audio_seconds_per_s": round(throughput_b, 2),
+            "device_time_per_chunk_ms": round(device_chunk_ms, 3),
             "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
         },
     }))

@@ -144,6 +144,22 @@ class StreamingVoiceConversion:
         return wav, codes, {"emformer": em_state, "conan": conan_state,
                             "vocoder": voc_state}
 
+    def stream_scan(self, state: dict, mel_chunks: Array, style_ctx: dict):
+        """Run N chunk steps entirely on device via lax.scan.
+
+        mel_chunks: [N, B, seg+rc, 80] → (wavs [N, B, seg*hop, 1], codes,
+        final state). This is the device-speed path: no per-chunk host
+        dispatch, so it measures/realizes the hardware per-chunk time and is
+        the fastest way to batch-convert recorded audio chunkwise."""
+        if not hasattr(self, "_scan_jit"):
+            self._scan_jit = jax.jit(
+                lambda params, st, chunks, style: jax.lax.scan(
+                    lambda s, c: (lambda w, cd, s2: (s2, (w, cd)))(
+                        *self._chunk_step(params, s, c, style)),
+                    st, chunks))
+        st, (wavs, codes) = self._scan_jit(self._params, state, mel_chunks, style_ctx)
+        return wavs, codes, st
+
     # ------------------------------------------------------------------
     def wav_to_mel(self, wav: np.ndarray) -> Array:
         """Feature frontend (reference `_wav_to_mel`, librosa log10-mel).
