@@ -104,6 +104,11 @@ class ConanBinarizer:
             "spk_id": int(spk_id),
             "len": int(n),
         }
+        if "spk_embed" in item:  # pre-extracted speaker embedding (metadata)
+            emb = item["spk_embed"]
+            if isinstance(emb, str):
+                emb = [float(x) for x in emb.split()]
+            rec["spk_embed"] = np.asarray(emb, np.float32)
         if self.with_f0:
             rec["f0"] = np.asarray(f0[:n], np.float32)
         return rec

@@ -83,6 +83,11 @@ class SpeechDataset:
         ref_mel = np.asarray(self._get_item(ref_local)["mel"], np.float32)[:max_frames]
         sample = {"id": index, "item_name": item.get("item_name", str(index)),
                   "mel": mel, "ref_mel": ref_mel, "spk_id": spk_id}
+        if hp.get("use_spk_embed", False) and "spk_embed" in item:
+            emb = item["spk_embed"]
+            if isinstance(emb, str):  # metadata stores space-separated floats
+                emb = np.asarray([float(x) for x in emb.split()], np.float32)
+            sample["spk_embed"] = np.asarray(emb, np.float32)
         if "f0" in item:
             T = min(mel.shape[0], len(item["f0"]))
             sample["mel"] = mel[:T]
