@@ -59,7 +59,8 @@ def main(argv=None) -> None:
             if args.offline:
                 wav = eng.infer_offline(src, ref)[0]
             else:
-                wav = eng.infer_once(src, ref)[0]
+                # on-device scan: chunkwise-identical output at device speed
+                wav = eng.infer_once(src, ref, use_scan=True)[0]
             wall = time.time() - t0
             out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -169,12 +169,17 @@ class StreamingVoiceConversion:
         return wav2mel_frontend(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
 
     def infer_once(self, src_wav: np.ndarray, ref_wav: np.ndarray,
-                   collect_codes: bool = False):
+                   collect_codes: bool = False, use_scan: bool = False):
         """Full streaming conversion of one (or a batch of) utterance(s).
 
         Like the reference engine, the source mel is computed up-front and
         consumed chunkwise; the REFERENCE mel is fully available before
-        streaming starts (the paper's structural insight)."""
+        streaming starts (the paper's structural insight).
+
+        ``use_scan=True`` runs the chunk loop on-device via lax.scan —
+        identical output, and immune to per-chunk host-dispatch overhead
+        (preferred for recorded-file batch conversion; the python loop is the
+        live-streaming shape where chunks arrive in real time)."""
         cfg = self.cfg
         seg, rc = cfg.seg, cfg.rc
         src_mel = self.wav_to_mel(src_wav)
@@ -187,6 +192,16 @@ class StreamingVoiceConversion:
         pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
         mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)  # [B, T_pad+rc, 80]
         state = self.init_state(B)
+        if use_scan:
+            n = T_pad // seg
+            idx = (np.arange(n)[:, None] * seg + np.arange(seg + rc)[None, :])
+            chunks = jnp.moveaxis(mel_ext[:, idx], 1, 0)  # [N, B, seg+rc, 80]
+            wavs, codes, state = self.stream_scan(state, chunks, style_ctx)
+            wav_out = jnp.moveaxis(wavs, 0, 1).reshape(B, -1, 1)[:, : T * cfg.mel.hop, 0]
+            if collect_codes:
+                codes_full = jnp.moveaxis(codes, 0, 1).reshape(B, -1)[:, :T]
+                return np.asarray(wav_out), np.asarray(codes_full)
+            return np.asarray(wav_out)
         wav_chunks = []
         codes_all = []
         for s in range(0, T_pad, seg):
