@@ -236,6 +236,34 @@ class ConanTask:
         out = {"r": jnp.mean(jnp.square(v_r - 1.0)), "f": jnp.mean(jnp.square(v_f))}
         return out["r"] + out["f"], out
 
+    def host_hook(self, state: dict, step: int, batch: dict) -> dict:
+        """Host-side one-time VQ kmeans bootstrap at the vq_start boundary
+        (reference VQEmbeddingEMA data-dependent init on the first VQ batch,
+        prosody_util.py:56-65). Called by the Trainer OUTSIDE the jitted step;
+        a no-op except exactly once."""
+        import numpy as np
+
+        hp = self.hp
+        if not self.cfg.style or state.get("vq_state") is None:
+            return state
+        vq_start = hp.get("vq_start", 20500)
+        if step != max(vq_start, 0) + 1:
+            return state
+        vq_state = jax.device_get(state["vq_state"])
+        if float(np.asarray(vq_state["initialized"])) != 0.0:
+            return state
+        ref = jnp.asarray(batch["mels"])  # same-utterance phase at vq_start
+        params = jax.device_get(state["params_g"])
+        feats = np.asarray(self.model.prosody.pre_vq(params["prosody"], ref))
+        flat = feats.reshape(-1, feats.shape[-1])
+        flat = flat[np.abs(flat).sum(-1) > 0]
+        if len(flat) < self.cfg.n_vq:
+            return state  # not enough frames this batch; try next time via EMA
+        new_vq = self.model.prosody.vq.kmeans_init_host(vq_state, flat)
+        state = dict(state)
+        state["vq_state"] = new_vq
+        return state
+
     def train_step(self, state: dict, batch: dict, rng, axis_name: str | None = None,
                    use_random_ref: bool = False):
         hp = self.hp

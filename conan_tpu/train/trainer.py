@@ -106,6 +106,14 @@ class Trainer:
             self._compiled[key] = shard_train_step(fn, self.mesh)
         return self._compiled[key]
 
+    def _hook_due(self, step: int) -> bool:
+        """Run the task host hook only near its trigger step — D2H round trips
+        are expensive on tunneled devices, so don't pull state every step."""
+        vq_start = self.hp.get("vq_start", None)
+        if vq_start is None:
+            return False
+        return step == max(int(vq_start), 0) + 1
+
     def _log(self, step: int, metrics: dict, prefix: str = "tr") -> None:
         rec = {"step": step, "prefix": prefix,
                **{k: float(v) for k, v in metrics.items()}}
@@ -134,9 +142,15 @@ class Trainer:
             # crash-early sanity validation (reference trainer.py:259-261)
             vm = valid_fn(jax.device_get(state), step)
             self._log(step, vm, prefix="sanity")
+        has_hook = hasattr(self.task, "host_hook")
         for batch in train_iter:
             if step >= self.max_updates:
                 break
+            if has_hook:
+                new = self.task.host_hook(jax.device_get(state), step, batch) \
+                    if self._hook_due(step) else None
+                if new is not None:
+                    state = replicate(new, self.mesh)
             static = dict(self._static_kwargs)
             if "use_random_ref_after" in static:
                 thr = static.pop("use_random_ref_after")

