@@ -56,3 +56,23 @@ def test_sharded_multi_stream_serving(rng):
     eng.shard_streams(make_mesh(8))
     wav_sharded = eng.infer_once(src, ref)
     np.testing.assert_allclose(wav_sharded, wav_plain, atol=1e-5)
+
+
+def test_fast_system_no_lookahead(rng):
+    """right_context=0 (the reference's published fast variant): the engine
+    streams 4-frame chunks with no lookahead, streaming == offline."""
+    from conan_tpu.models.emformer import EmformerConfig
+
+    cfg = StreamingConfig(
+        emformer=EmformerConfig(input_dim=80, num_heads=4, ffn_dim=64,
+                                num_layers=2, segment_length=4,
+                                left_context_length=8, right_context_length=0,
+                                output_dim=100),
+        conan=SMALL.conan, vocoder=SMALL.vocoder)
+    eng = random_engine(cfg, seed=3)
+    hop = cfg.mel.hop
+    src = (rng.standard_normal(hop * 16) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(hop * 24) * 0.1).astype(np.float32)
+    wav_stream = eng.infer_once(src, ref)
+    wav_off = eng.infer_offline(src, ref)
+    np.testing.assert_allclose(wav_stream, wav_off, atol=1e-4)
