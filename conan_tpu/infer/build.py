@@ -16,8 +16,8 @@ import jax
 from conan_tpu.config import HParams, load_config
 from conan_tpu.infer.streaming import StreamingConfig, StreamingVoiceConversion
 from conan_tpu.audio.mel import MelConfig
-from conan_tpu.models.conan.model import Conan, ConanConfig
-from conan_tpu.models.emformer import EmformerConfig, EmformerDistillModel
+from conan_tpu.models.conan.model import ConanConfig
+from conan_tpu.models.emformer import EmformerConfig
 from conan_tpu.models.vocoder.hifigan import HifiGanConfig, HifiGanGenerator
 from conan_tpu.train.checkpoint import load_ckpt_state
 

@@ -20,7 +20,6 @@ transfer (the 6 mel frames) and one device→host transfer (1280 samples).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from conan_tpu.audio.pitch import denorm_f0, f0_to_coarse
-from conan_tpu.nn import inits
 from conan_tpu.nn.blocks import (ConvBlocks, PitchPredictor, dropout, embedding,
                                  init_conv, init_embedding, init_linear, linear,
                                  nonpadding_mask, positional_embedding)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from conan_tpu import ops
 from conan_tpu.nn import inits
-from conan_tpu.nn.blocks import dropout, init_linear, linear
+from conan_tpu.nn.blocks import init_linear, linear
 from conan_tpu.nn.module import Params
 
 Array = jax.Array

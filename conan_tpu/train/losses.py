@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from conan_tpu.audio.mel import MelConfig, wav2mel_gan
-from conan_tpu.ops.stft import stft_magnitude
 
 Array = jax.Array
 

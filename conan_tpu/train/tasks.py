@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from conan_tpu.models.conan.model import Conan, ConanConfig
 from conan_tpu.models.emformer import EmformerConfig, EmformerDistillModel
