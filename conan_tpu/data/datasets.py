@@ -111,7 +111,7 @@ class ConanDataset(SpeechDataset):
 
     def collate(self, samples: list[dict], target_len: int | None = None,
                 ref_target_len: int | None = None) -> dict:
-        return {
+        batch = {
             "nsamples": len(samples),
             "item_name": [s["item_name"] for s in samples],
             "content": collate_1d([s["content"] for s in samples], -1, target_len),
@@ -121,6 +121,9 @@ class ConanDataset(SpeechDataset):
             "uv": collate_1d([s["uv"] for s in samples], 0.0, target_len),
             "mel_lengths": np.asarray([s["mel"].shape[0] for s in samples], np.int64),
         }
+        if all("spk_embed" in s for s in samples):  # use_spk_embed path
+            batch["spk_embed"] = np.stack([s["spk_embed"] for s in samples])
+        return batch
 
 
 class EmformerDataset(SpeechDataset):

@@ -62,6 +62,7 @@ class BatchIterator:
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        err: list[BaseException] = []
 
         def producer():
             try:
@@ -74,6 +75,9 @@ class BatchIterator:
                             q.put(batch)
                     if not self.endless:
                         break
+            except BaseException as e:  # surface data errors to the consumer —
+                # a swallowed exception would end training as if it completed
+                err.append(e)
             finally:
                 q.put(None)
 
@@ -83,6 +87,8 @@ class BatchIterator:
             while True:
                 b = q.get()
                 if b is None:
+                    if err:
+                        raise RuntimeError("data pipeline producer failed") from err[0]
                     return
                 yield b
         finally:

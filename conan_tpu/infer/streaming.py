@@ -214,9 +214,12 @@ class StreamingVoiceConversion:
         return np.asarray(wav_out)
 
     # ------------------------------------------------------------------
-    def infer_offline(self, src_wav: np.ndarray, ref_wav: np.ndarray) -> np.ndarray:
+    def infer_offline(self, src_wav: np.ndarray, ref_wav: np.ndarray,
+                      rng=None) -> np.ndarray:
         """Non-streaming composition of the three stages (for equivalence
-        checks and offline batch conversion)."""
+        checks and offline batch conversion). ``rng`` seeds the rectified-flow
+        x0 when the acoustic model uses f0_gen='flow' (fixed key by default so
+        the path is deterministic)."""
         cfg = self.cfg
         seg, rc = cfg.seg, cfg.rc
         src_mel = self.wav_to_mel(src_wav)
@@ -227,9 +230,11 @@ class StreamingVoiceConversion:
         mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)
         logits = self.emformer.apply(self.p_emformer, mel_ext)
         codes = jnp.argmax(logits, axis=-1)
+        if rng is None and cfg.conan.f0_gen == "flow":
+            rng = jax.random.PRNGKey(0)
         ret = self.conan.apply(self.p_conan, codes, ref=ref_mel,
                                vq_state=self.vq_state, infer=True,
-                               global_step=200000)
+                               global_step=200000, rng=rng)
         wav = self.vocoder.apply(self.p_vocoder, ret["mel_out"])
         return np.asarray(wav[:, : T * cfg.mel.hop, 0])
 

@@ -238,8 +238,8 @@ class Conan:
         ce = jax.nn.leaky_relu(ce, 0.01)
         ret["content_embed_proj"] = ce
 
-        if spk_embed is not None:
-            style = spk_embed
+        if spk_embed is not None:  # pre-extracted embedding (Conan.py:146-149)
+            style = spk_embed if spk_embed.ndim == 3 else spk_embed[:, None, :]
         else:
             assert ref is not None
             style = self.encode_spk_embed(params, ref)

@@ -265,6 +265,8 @@ class RMVPE:
         self.model = E2E0(cfg)
         self.params = params
         self.hop_length = hop_length
+        # params are an explicit jit argument (CLAUDE.md: closing over the
+        # pytree would bake the DeepUnet+BiGRU weights in as constants)
         self._infer = jax.jit(self._infer_impl)
 
     @classmethod
@@ -276,18 +278,19 @@ class RMVPE:
         model = E2E0()
         return cls(model.params_from_torch(sd), hop_length)
 
-    def _infer_impl(self, audio: Array) -> Array:
+    def _infer_impl(self, params: dict, audio: Array) -> Array:
         mel = mel_spectrogram(audio, self.hop_length)
         n = mel.shape[-1]
         pad = 32 * ((n - 1) // 32 + 1) - n
         mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)))
-        hidden = self.model.apply(self.params, mel)
+        hidden = self.model.apply(params, mel)
         return hidden[:, :n]
 
     def infer_from_audio(self, audio: np.ndarray, thred: float = 0.03) -> np.ndarray:
         if audio.ndim == 1:
             audio = audio[None]
-        hidden = np.asarray(self._infer(jnp.asarray(audio.astype(np.float32))))
+        hidden = np.asarray(self._infer(self.params,
+                                        jnp.asarray(audio.astype(np.float32))))
         return to_local_average_f0(hidden, thred)[0]
 
     def get_pitch(self, waveform: np.ndarray, sample_rate: int, hop_size: int,

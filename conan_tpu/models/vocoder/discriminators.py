@@ -106,7 +106,11 @@ class MultiPeriodDiscriminator:
 # ---------------------------------------------------------------------------
 
 class DiscriminatorS:
-    """Scale discriminator: grouped strided 1-D convs (hifigan_causal.py:419-452)."""
+    """Scale discriminator: grouped strided 1-D convs (hifigan_causal.py:419-452).
+
+    ``use_spectral_norm=True`` (the full-rate scale, hifigan_causal.py:460)
+    stores raw weights and Lipschitz-constrains them via power iteration at
+    apply time (torch nn.utils.spectral_norm equivalent)."""
 
     # (in, out, k, stride, groups, pad)
     LAYERS = [(1, 128, 15, 1, 1, 7), (128, 128, 41, 2, 4, 20),
@@ -114,22 +118,37 @@ class DiscriminatorS:
               (512, 1024, 41, 4, 16, 20), (1024, 1024, 41, 1, 16, 20),
               (1024, 1024, 5, 1, 1, 2)]
 
+    def __init__(self, use_spectral_norm: bool = False):
+        self.spectral = use_spectral_norm
+
+    def _conv_init(self, key, out_ch, in_ch, k):
+        if not self.spectral:
+            return _wn_conv_init(key, out_ch, in_ch, k)
+        kw, kb = jax.random.split(key)
+        shape = (out_ch, in_ch, k)
+        return {"w": inits.kaiming_uniform(kw, shape),
+                "b": inits.default_bias(kb, (out_ch,), shape)}
+
+    def _weight(self, c: Params) -> Array:
+        return ops.spectral_norm_weight(c["w"]) if self.spectral \
+            else ops.weight_norm_weight(c)
+
     def init(self, key) -> Params:
         keys = iter(jax.random.split(key, len(self.LAYERS) + 1))
-        convs = [_wn_conv_init(next(keys), co, ci // g, k)
+        convs = [self._conv_init(next(keys), co, ci // g, k)
                  for ci, co, k, s, g, pd in self.LAYERS]
         # note: torch Conv1d weight is [out, in/groups, k]
-        post = _wn_conv_init(next(keys), 1, 1024, 3)
+        post = self._conv_init(next(keys), 1, 1024, 3)
         return {"convs": convs, "post": post}
 
     def apply(self, params: Params, x: Array):
         fmap = []
         for (ci, co, k, s, g, pd), c in zip(self.LAYERS, params["convs"]):
-            x = ops.conv1d(x, ops.weight_norm_weight(c), c["b"], stride=s,
+            x = ops.conv1d(x, self._weight(c), c["b"], stride=s,
                            padding=(pd, pd), groups=g)
             x = jax.nn.leaky_relu(x, LRELU)
             fmap.append(x)
-        x = ops.conv1d(x, ops.weight_norm_weight(params["post"]), params["post"]["b"],
+        x = ops.conv1d(x, self._weight(params["post"]), params["post"]["b"],
                        padding=(1, 1))
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
@@ -146,7 +165,9 @@ def _avg_pool1d(x: Array, k: int = 4, s: int = 2, pad: int = 1) -> Array:
 
 class MultiScaleDiscriminator:
     def __init__(self):
-        self.discs = [DiscriminatorS(), DiscriminatorS(), DiscriminatorS()]
+        # first (full-rate) scale is spectral-normed (hifigan_causal.py:460)
+        self.discs = [DiscriminatorS(use_spectral_norm=True),
+                      DiscriminatorS(), DiscriminatorS()]
 
     def init(self, key) -> Params:
         return {"discs": [d.init(k) for d, k in
@@ -240,18 +261,23 @@ class MultiWindowDiscriminator:
 
     def apply(self, params: Params, mel: Array, rng, *, train: bool = False,
               start_frames: list[Array] | None = None):
-        """mel [B, T, M] → (summed validity [B,1] or None-mask, hiddens,
-        start frames used). T must be ≥ max(windows) at trace time for all
-        windows to engage (training pads/crops to known lengths)."""
+        """mel [B, T, M] → (summed validity [B,1], hiddens, start frames used,
+        fit). ``fit`` is a traced scalar bool: True only when EVERY window
+        engaged — the reference returns validity=None when any window does not
+        fit (multi_window_disc.py:71-79) and the task then skips the GAN
+        losses for that batch; callers must gate on ``fit`` the same way."""
         B, T, M = mel.shape
         x_len = (jnp.abs(mel).sum(-1) > 0).astype(jnp.int32).sum(-1)  # [B]
         validity = jnp.zeros((B, 1))
         hiddens = []
         starts_used = []
+        fit = jnp.asarray(True)
         for i, (w, d, p) in enumerate(zip(self.windows, self.discs, params["discs"])):
-            if T < w:
+            if T < w:  # statically impossible window
                 starts_used.append(None)
+                fit = fit & jnp.asarray(False)
                 continue
+            fit = fit & (jnp.max(x_len) >= w)  # dynamic: ref clip T_end >= 0
             if start_frames is not None and start_frames[i] is not None:
                 start = start_frames[i]
             else:
@@ -264,4 +290,4 @@ class MultiWindowDiscriminator:
             v, hs = d.apply(p, clip[..., None], r2, train=train)
             validity = validity + v
             hiddens.extend(hs)
-        return validity, hiddens, starts_used
+        return validity, hiddens, starts_used, fit

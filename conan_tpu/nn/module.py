@@ -50,17 +50,6 @@ class Stream:
         self.new_state[path] = carry
         return y
 
-    def carry(self, path: str, default_fn):
-        """Generic named state slot (e.g. KV caches)."""
-        if self.state is None:
-            return None
-        return self.state[path]
-
-    def put(self, path: str, value) -> None:
-        if self.state is not None:
-            self.new_state[path] = value
-
-
 def conv_state_entries(prefix: str, batch: int, in_ch: int, k: int,
                        dilation: int = 1, dtype=jnp.float32) -> State:
     return {prefix: ops.causal_conv1d_state(batch, in_ch, k, dilation, dtype)}

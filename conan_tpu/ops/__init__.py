@@ -6,6 +6,7 @@ from conan_tpu.ops.conv import (  # noqa: F401
     conv2d,
     conv_transpose1d,
     pixel_shuffle_1d,
+    spectral_norm_weight,
     weight_norm_weight,
     weight_norm_init,
 )

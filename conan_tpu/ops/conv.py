@@ -175,6 +175,33 @@ def weight_norm_weight(p: dict) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Spectral normalization (torch nn.utils.spectral_norm)
+# ---------------------------------------------------------------------------
+
+def spectral_norm_weight(w: Array, iters: int = 3) -> Array:
+    """w / sigma_max(w) with sigma estimated by power iteration over the
+    [out, in*k] matricization (torch spectral_norm semantics: u/v are
+    non-differentiable, sigma = uᵀWv differentiates through W).
+
+    Stateless delta from torch: torch carries a persistent ``u`` buffer and
+    runs ONE iteration per forward; here a fixed start vector and ``iters``
+    iterations per apply give the same Lipschitz constraint without threading
+    buffer state through the functional discriminators.
+    """
+    m = w.reshape(w.shape[0], -1)
+    u = jnp.full((m.shape[0],), 1.0 / jnp.sqrt(jnp.float32(m.shape[0])), w.dtype)
+    for _ in range(iters):
+        v = m.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u = m @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (m @ v)
+    return w / jnp.maximum(sigma, 1e-12)
+
+
+# ---------------------------------------------------------------------------
 # Pixel shuffle (the paper's causal upsampler, `hifigan_causal.py:171-189`)
 # ---------------------------------------------------------------------------
 

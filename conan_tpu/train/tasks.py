@@ -197,6 +197,7 @@ class ConanTask:
         ref = batch["ref_mels"] if use_random_ref else target
         r_model, r_disc = jax.random.split(rng)
         out = self.model.apply(pg, content, ref=ref, vq_state=vq_state,
+                               spk_embed=batch.get("spk_embed"),
                                f0=f0, uv=uv, infer=False, global_step=step,
                                rng=r_model, train=True, axis_name=axis_name,
                                vq_start=hp.get("vq_start", 20500),
@@ -217,11 +218,12 @@ class ConanTask:
             losses["gloss"] = jnp.where(gloss_on, out["gloss"], 0.0)
             vq_on = step > hp.get("vq_start", 20500)
             losses["vq_loss"] = jnp.where(vq_on, out["vq_loss"], 0.0)
-        # adversarial mel loss (after disc_start_steps)
+        # adversarial mel loss (after disc_start_steps); skipped when any
+        # disc window does not fit, like the reference's validity=None path
         disc_on = step >= hp.get("disc_start_steps", 40000)
-        v, _, _ = self.mel_disc.apply(pd, out["mel_out"], r_disc, train=True)
+        v, _, _, fit = self.mel_disc.apply(pd, out["mel_out"], r_disc, train=True)
         adv = jnp.mean(jnp.square(v - 1.0)) * hp.get("lambda_mel_adv", 0.05)
-        losses["a"] = jnp.where(disc_on, adv, 0.0)
+        losses["a"] = jnp.where(disc_on & fit, adv, 0.0)
         total = sum(losses.values())
         metrics = dict(losses)
         metrics["ppl"] = out.get("ppl", 0.0)
@@ -229,39 +231,41 @@ class ConanTask:
 
     def _disc_losses(self, pd, mel_g, mel_p, rng):
         r1, r2 = jax.random.split(rng)
-        v_r, _, starts = self.mel_disc.apply(pd, mel_g, r1, train=True)
+        v_r, _, _, fit_r = self.mel_disc.apply(pd, mel_g, r1, train=True)
         # reference uses fresh random windows for real and fake alike
-        v_f, _, _ = self.mel_disc.apply(pd, mel_p, r2, train=True)
+        v_f, _, _, fit_f = self.mel_disc.apply(pd, mel_p, r2, train=True)
         out = {"r": jnp.mean(jnp.square(v_r - 1.0)), "f": jnp.mean(jnp.square(v_f))}
-        return out["r"] + out["f"], out
+        return out["r"] + out["f"], (out, fit_r & fit_f)
 
-    def host_hook(self, state: dict, step: int, batch: dict) -> dict:
+    def host_hook(self, state: dict, step: int, batch: dict):
         """Host-side one-time VQ kmeans bootstrap at the vq_start boundary
         (reference VQEmbeddingEMA data-dependent init on the first VQ batch,
-        prosody_util.py:56-65). Called by the Trainer OUTSIDE the jitted step;
-        a no-op except exactly once."""
+        prosody_util.py:56-65). Called by the Trainer OUTSIDE the jitted step
+        from vq_start+1 onward until it reports done — so a batch with too few
+        prosody frames (or a resume past the boundary) retries on the next
+        batch instead of silently skipping the init.
+
+        Returns ``(new_state | None, done)``; params stay on device — only the
+        tiny ``initialized`` flag and the [N, hidden] feature matrix cross the
+        tunnel.
+        """
         import numpy as np
 
-        hp = self.hp
         if not self.cfg.style or state.get("vq_state") is None:
-            return state
-        vq_start = hp.get("vq_start", 20500)
-        if step != max(vq_start, 0) + 1:
-            return state
-        vq_state = jax.device_get(state["vq_state"])
-        if float(np.asarray(vq_state["initialized"])) != 0.0:
-            return state
+            return None, True
+        if float(np.asarray(jax.device_get(state["vq_state"]["initialized"]))) != 0.0:
+            return None, True  # already bootstrapped (fresh run or resume)
         ref = jnp.asarray(batch["mels"])  # same-utterance phase at vq_start
-        params = jax.device_get(state["params_g"])
-        feats = np.asarray(self.model.prosody.pre_vq(params["prosody"], ref))
+        feats = np.asarray(self.model.prosody.pre_vq(state["params_g"]["prosody"], ref))
         flat = feats.reshape(-1, feats.shape[-1])
         flat = flat[np.abs(flat).sum(-1) > 0]
         if len(flat) < self.cfg.n_vq:
-            return state  # not enough frames this batch; try next time via EMA
+            return None, False  # too few frames for kmeans; retry next batch
+        vq_state = jax.device_get(state["vq_state"])
         new_vq = self.model.prosody.vq.kmeans_init_host(vq_state, flat)
-        state = dict(state)
-        state["vq_state"] = new_vq
-        return state
+        new_state = dict(state)
+        new_state["vq_state"] = new_vq
+        return new_state, True
 
     def train_step(self, state: dict, batch: dict, rng, axis_name: str | None = None,
                    use_random_ref: bool = False):
@@ -278,16 +282,19 @@ class ConanTask:
                                         opt_g_new, state["opt_g"])
         vq_state = jax.lax.stop_gradient(out["vq_state"]) if self.cfg.style else None
         # discriminator update, gated on disc_start (reference returns None
-        # before disc_start_steps -> no optimizer step at all)
+        # before disc_start_steps -> no optimizer step at all) and on window
+        # fit (reference skips r/f losses when validity is None)
         disc_on = step >= hp.get("disc_start_steps", 40000)
         mel_p = jax.lax.stop_gradient(out["mel_out"])
-        (dtot, dl), grads_d = jax.value_and_grad(self._disc_losses, has_aux=True)(
-            state["params_d"], batch["mels"], mel_p, rd)
-        ok_d = _tree_finite(grads_d) & disc_on
+        (dtot, (dl, d_fit)), grads_d = jax.value_and_grad(
+            self._disc_losses, has_aux=True)(state["params_d"], batch["mels"],
+                                             mel_p, rd)
+        d_gate = disc_on & d_fit
+        ok_d = _tree_finite(grads_d) & d_gate
         upd_d, opt_d_new = self.opt_d.update(grads_d, state["opt_d"], state["params_d"])
         params_d, opt_d = _gated_update(ok_d, state["params_d"], upd_d,
                                         opt_d_new, state["opt_d"])
-        metrics = {**gl, **{f"d_{k}": jnp.where(disc_on, v, 0.0) for k, v in dl.items()},
+        metrics = {**gl, **{f"d_{k}": jnp.where(d_gate, v, 0.0) for k, v in dl.items()},
                    "total_g": gtot}
         new_state = {"params_g": params_g, "params_d": params_d, "vq_state": vq_state,
                      "opt_g": opt_g, "opt_d": opt_d, "step": step + 1}
@@ -306,7 +313,10 @@ class PostnetTask:
         self.hp = hp
         self.conan_cfg = ConanConfig.from_hparams(hp)
         self.conan = Conan(self.conan_cfg)
-        self.pretrain_params = jax.lax.stop_gradient(pretrain_params)
+        # frozen backbone lives in the train STATE (not closed over) so the
+        # jitted step receives it as an argument — closing over the pytree
+        # would bake every weight in as a compile-time constant (CLAUDE.md)
+        self.pretrain_params = pretrain_params
         self.pretrain_vq = pretrain_vq_state
         self.postnet = ConanPostnet(PostnetConfig.from_hparams(hp))
         sched = optim.step_lr_schedule(hp["lr"], hp.get("decay_steps", 50000), 0.5)
@@ -316,12 +326,13 @@ class PostnetTask:
     def init_state(self, key) -> dict:
         p = self.postnet.init(key)
         return {"params": p, "opt": self.opt.init(p),
-                "step": jnp.zeros((), jnp.int32)}
+                "step": jnp.zeros((), jnp.int32),
+                "frozen": {"conan": self.pretrain_params, "vq": self.pretrain_vq}}
 
-    def _loss(self, params, batch, rng):
+    def _loss(self, params, frozen, batch, rng):
         r1, r2 = jax.random.split(rng)
-        out = self.conan.apply(self.pretrain_params, batch["content"],
-                               ref=batch["ref_mels"], vq_state=self.pretrain_vq,
+        out = self.conan.apply(frozen["conan"], batch["content"],
+                               ref=batch["ref_mels"], vq_state=frozen["vq"],
                                f0=batch["f0"], uv=batch["uv"], infer=False,
                                global_step=200000, rng=r1)
         coarse = jax.lax.stop_gradient(out["mel_out"])
@@ -329,11 +340,13 @@ class PostnetTask:
         return self.postnet.loss(params, coarse, dec_inp, batch["mels"], r2)
 
     def train_step(self, state: dict, batch: dict, rng):
-        loss, grads = jax.value_and_grad(self._loss)(state["params"], batch, rng)
+        loss, grads = jax.value_and_grad(self._loss)(
+            state["params"], jax.lax.stop_gradient(state["frozen"]), batch, rng)
         ok = _tree_finite(grads)
         upd, opt_new = self.opt.update(grads, state["opt"], state["params"])
         params, opt = _gated_update(ok, state["params"], upd, opt_new, state["opt"])
-        return ({"params": params, "opt": opt, "step": state["step"] + 1},
+        return ({"params": params, "opt": opt, "step": state["step"] + 1,
+                 "frozen": state["frozen"]},
                 {"flow": loss})
 
 

@@ -107,12 +107,13 @@ class Trainer:
         return self._compiled[key]
 
     def _hook_due(self, step: int) -> bool:
-        """Run the task host hook only near its trigger step — D2H round trips
-        are expensive on tunneled devices, so don't pull state every step."""
+        """Run the task host hook from its trigger step onward (until the hook
+        reports done) — D2H round trips are expensive on tunneled devices, so
+        don't touch device state before the boundary."""
         vq_start = self.hp.get("vq_start", None)
         if vq_start is None:
             return False
-        return step == max(int(vq_start), 0) + 1
+        return step >= max(int(vq_start), 0) + 1
 
     def _log(self, step: int, metrics: dict, prefix: str = "tr") -> None:
         rec = {"step": step, "prefix": prefix,
@@ -142,13 +143,16 @@ class Trainer:
             # crash-early sanity validation (reference trainer.py:259-261)
             vm = valid_fn(jax.device_get(state), step)
             self._log(step, vm, prefix="sanity")
-        has_hook = hasattr(self.task, "host_hook")
+        hook_done = not hasattr(self.task, "host_hook")
+        pending: list[dict] = []  # device-resident per-step metrics — read back
+        # only at the log interval so the hot loop never blocks on the device
+        # (a per-step device_get would forfeit async-dispatch pipelining; on
+        # tunneled devices it also flips dispatch into ~40 ms sync mode)
         for batch in train_iter:
             if step >= self.max_updates:
                 break
-            if has_hook:
-                new = self.task.host_hook(jax.device_get(state), step, batch) \
-                    if self._hook_due(step) else None
+            if not hook_done and self._hook_due(step):
+                new, hook_done = self.task.host_hook(state, step, batch)
                 if new is not None:
                     state = replicate(new, self.mesh)
             static = dict(self._static_kwargs)
@@ -160,9 +164,12 @@ class Trainer:
             state, metrics = step_fn(state, shard_batch(batch, self.mesh),
                                      replicate(sub, self.mesh))
             step += 1
-            for k, v in jax.device_get(metrics).items():
-                meters[k].update(v)
+            pending.append(metrics)
             if step % self.tb_log_interval == 0:
+                for m in jax.device_get(pending):
+                    for k, v in m.items():
+                        meters[k].update(v)
+                pending.clear()
                 avg = {k: m.avg for k, m in meters.items()}
                 avg["steps_per_s"] = self.tb_log_interval / (time.time() - t_last)
                 t_last = time.time()

@@ -161,3 +161,19 @@ def test_loader_endless_and_bucketed(corpus):
         b = next(it)
         shapes.add(b["mels"].shape[1:])
     assert len(shapes) <= 4  # bucket ladder bounds the shape set
+
+
+def test_loader_propagates_producer_errors():
+    """A data error must fail training loudly, not end the iterator as if the
+    epoch completed."""
+
+    class BadDS:
+        sizes = [10, 10]
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt record")
+
+    it = BatchIterator(BadDS(), lambda s: {"x": np.zeros(1)}, max_tokens=20,
+                       max_sentences=2, endless=False)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)

@@ -135,8 +135,8 @@ def test_emformer_train_step(rng):
 
 
 def test_conan_vq_kmeans_hook(rng):
-    """Trainer-side kmeans bootstrap fires exactly at vq_start+1 and
-    initializes the codebook from batch prosody features."""
+    """Trainer-side kmeans bootstrap initializes the codebook from batch
+    prosody features, retries on starved batches, and no-ops once done."""
     import jax
 
     hp = dict(CONAN_HP, vq_start=3)
@@ -151,8 +151,14 @@ def test_conan_vq_kmeans_hook(rng):
         "f0": (rng.standard_normal((B, T)) * 0.5 + 7.5).astype(np.float32),
         "uv": (rng.random((B, T)) < 0.25).astype(np.float32),
     }
-    assert task.host_hook(state, 3, batch) is state or True  # wrong step: no-op
-    s2 = task.host_hook(dict(state), 4, batch)
-    assert float(s2["vq_state"]["initialized"]) == 1.0
-    emb = np.asarray(s2["vq_state"]["embedding"])
+    # a starved batch (too few prosody rows for kmeans) defers, not skips
+    tiny = dict(batch, mels=batch["mels"][:1, :32])
+    new, done = task.host_hook(dict(state), 4, tiny)
+    assert new is None and not done
+    new, done = task.host_hook(dict(state), 5, batch)
+    assert done and float(new["vq_state"]["initialized"]) == 1.0
+    emb = np.asarray(new["vq_state"]["embedding"])
     assert np.abs(emb).max() > 1.0 / 512  # not the tiny uniform init anymore
+    # once initialized the hook is a no-op
+    again, done2 = task.host_hook(new, 6, batch)
+    assert again is None and done2
