@@ -162,3 +162,24 @@ def test_conan_vq_kmeans_hook(rng):
     # once initialized the hook is a no-op
     again, done2 = task.host_hook(new, 6, batch)
     assert again is None and done2
+
+
+def test_mel_disc_window_fit_gating(rng):
+    """The mel disc reports fit=False when any crop window does not engage —
+    statically (T < w) or dynamically (all utterances shorter than w) — and
+    the reference's validity=None path then skips the GAN losses."""
+    from conan_tpu.models.vocoder.discriminators import MultiWindowDiscriminator
+
+    disc = MultiWindowDiscriminator(time_lengths=(8, 16), freq_length=12, hidden=8)
+    params = disc.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    long = jnp.asarray(rng.standard_normal((2, 24, 12)).astype(np.float32) + 3.0)
+    _, _, _, fit = disc.apply(params, long, key)
+    assert bool(fit)
+    # statically impossible window (T=12 < 16)
+    _, _, _, fit_static = disc.apply(params, long[:, :12], key)
+    assert not bool(fit_static)
+    # dynamically too short: padded to T=24 but only 10 nonzero frames
+    padded = jnp.concatenate([long[:, :10], jnp.zeros((2, 14, 12))], axis=1)
+    _, _, _, fit_dyn = disc.apply(params, padded, key)
+    assert not bool(fit_dyn)
