@@ -142,14 +142,31 @@ class EmformerDataset(SpeechDataset):
     def collate(self, samples: list[dict], target_len: int | None = None,
                 seg: int = 4, rc: int = 2) -> dict:
         """Pads mel to (⌈T/seg⌉·seg + rc) so the Emformer's static-shape
-        forward sees a segment-aligned utterance + lookahead tail."""
+        forward sees a segment-aligned utterance + lookahead tail.
+
+        The last ``rc`` codes of every sample are masked to −1: those frames'
+        lookahead comes from zero padding, not audio, so training on them
+        would be train/infer-inconsistent.  This generalizes the reference's
+        batch-level target truncation (`/root/reference/tasks/Emformer/
+        Emformer.py:199-207`: ``content[:, :-right_context]`` — which drops
+        exactly these frames for the batch-max-length sample) to every sample.
+        No per-sample attention lengths are passed: the reference feeds
+        torchaudio the full padded length for all samples (`Emformer.py:185`),
+        i.e. an all-valid padding mask; the −1 loss mask carries validity."""
         T = target_len or max(s["mel"].shape[0] for s in samples)
         T_utt = -(-T // seg) * seg
         mels = collate_2d([s["mel"] for s in samples], 0.0, T_utt + rc)
-        content = collate_1d([s["content"] for s in samples], -1, T_utt)
-        lengths = np.asarray([min(s["mel"].shape[0], T_utt) + rc for s in samples])
-        return {"nsamples": len(samples), "mels": mels, "content": content,
-                "lengths": lengths}
+        contents = []
+        for s in samples:
+            c = np.asarray(s["content"]).copy()
+            if rc > 0:
+                # frames whose rc-lookahead reaches past the sample's mel
+                # (after the bucket crop at T_utt + rc) have no real lookahead
+                tail = min(len(c), T_utt + rc) - rc
+                c[max(tail, 0):] = -1
+            contents.append(c)
+        content = collate_1d(contents, -1, T_utt)
+        return {"nsamples": len(samples), "mels": mels, "content": content}
 
 
 class VocoderDataset:

@@ -198,14 +198,20 @@ class Emformer:
             x = utt
         bias = jnp.asarray(self._offline_mask(n_segs))
         if lengths is not None:
-            # mask keys beyond each sample's valid utterance/rc frames
+            # torchaudio `_gen_padding_mask` semantics (verified against the
+            # torch oracle in tests/torch_emformer_oracle.py): every
+            # right-context key stays valid; utterance key j is valid iff
+            # j < lengths[b] + T_utt - max(lengths), i.e. klengths =
+            # lengths + (rc_total + T_utt - max(lengths)) over the
+            # [rc ∥ utterance] key layout.  `lengths` counts valid frames of
+            # `mel` (including its rc tail), matching the reference's usage
+            # (`/root/reference/modules/Emformer/emformer.py:40,87`).
             nrc = n_segs * rc
-            utt_len = jnp.maximum(lengths - rc, 0)
             utt_pos = jnp.arange(T)
-            utt_valid = utt_pos[None, :] < utt_len[:, None]
+            utt_hi = lengths + (T - jnp.max(lengths))
+            utt_valid = utt_pos[None, :] < utt_hi[:, None]
             if rc > 0:
-                src = jnp.asarray(idx.reshape(-1))
-                rc_valid = src[None, :] < lengths[:, None]
+                rc_valid = jnp.ones((lengths.shape[0], nrc), bool)
                 key_valid = jnp.concatenate([rc_valid, utt_valid], axis=1)
             else:
                 key_valid = utt_valid

@@ -375,9 +375,11 @@ class EmformerTask:
 
     def _loss(self, params, batch):
         """mels [B, T_in, 80] (includes rc tail), content codes [B, T_utt]
-        (pad -1); masked CE + accuracy (Emformer.py:123-230)."""
+        (pad -1, per-sample rc-tail truncated by the collate); masked CE +
+        accuracy (Emformer.py:123-230).  No attention lengths: the reference
+        passes the full padded length for every sample (all keys valid)."""
         mel, codes = batch["mels"], batch["content"]
-        logits = self.model.apply(params, mel, batch.get("lengths"))
+        logits = self.model.apply(params, mel)
         T = min(logits.shape[1], codes.shape[1])
         logits, codes = logits[:, :T], codes[:, :T]
         mask = codes != -1

@@ -143,6 +143,14 @@ def test_binarizer_and_datasets(corpus):
     eds = EmformerDataset(bd, "train", hp)
     eb = eds.collate([eds[0], eds[1]], target_len=60, seg=4, rc=2)
     assert eb["mels"].shape[1] == 62 and eb["mels"].shape[1] % 4 == 2
+    # tail truncation: each sample's last rc codes are −1 — their lookahead
+    # would be zero padding (reference truncates targets by right_context,
+    # tasks/Emformer/Emformer.py:199-207); and no attention-lengths field
+    for i, s in enumerate([eds[0], eds[1]]):
+        tail = min(len(s["content"]), 62) - 2  # min(T_i, T_utt + rc) - rc
+        assert (eb["content"][i, max(tail, 0):] == -1).all()
+        assert (eb["content"][i, :min(max(tail, 0), 60)] != -1).all()
+    assert "lengths" not in eb
 
     vds = VocoderDataset(bd, "train", hp)
     vb = vds.collate([vds[0], vds[1]])
