@@ -74,8 +74,10 @@ class StreamingVoiceConversion:
         self._step_impl = jax.jit(self._chunk_step)
         self._prepare_jit = jax.jit(self._prepare_impl)
 
-    def _step(self, state, mel_chunk, style_ctx):
-        return self._step_impl(self._params, state, mel_chunk, style_ctx)
+    def _step(self, state, mel_chunk, style_ctx, f0_noise=None):
+        if f0_noise is None:
+            f0_noise = jnp.zeros((mel_chunk.shape[0], self.cfg.seg, 1))
+        return self._step_impl(self._params, state, mel_chunk, style_ctx, f0_noise)
 
     def _prepare(self, ref_mel):
         return self._prepare_jit(self._params, ref_mel)
@@ -108,12 +110,12 @@ class StreamingVoiceConversion:
         out_t = jax.eval_shape(
             self._chunk_step, self._params, state_t,
             jax.ShapeDtypeStruct((n, seg + rc, self.cfg.conan.n_mels), jnp.float32),
-            style_t)
+            style_t, jax.ShapeDtypeStruct((n, seg, 1), jnp.float32))
         out_sh = jax.tree.map(by_rank, out_t)
         params_sh = jax.tree.map(lambda x: rep, self._params)
         self._step_impl = jax.jit(
             self._chunk_step,
-            in_shardings=(params_sh, state_sh, bsh, style_sh),
+            in_shardings=(params_sh, state_sh, bsh, style_sh, bsh),
             out_shardings=out_sh,
         )
         self._prepare_jit = jax.jit(self._prepare_impl,
@@ -131,32 +133,42 @@ class StreamingVoiceConversion:
             "vocoder": self.vocoder.init_state(batch),
         }
 
-    def _chunk_step(self, params: dict, state: dict, mel_chunk: Array, style_ctx: dict):
-        """mel_chunk [B, seg+rc, 80] → (wav [B, seg*hop, 1], codes, state')."""
+    def _chunk_step(self, params: dict, state: dict, mel_chunk: Array,
+                    style_ctx: dict, f0_noise: Array):
+        """mel_chunk [B, seg+rc, 80], f0_noise [B, seg, 1] (this chunk's slice
+        of the per-utterance rectified-flow x0; ignored unless f0_gen='flow')
+        → (wav [B, seg*hop, 1], codes, state')."""
         logits, em_state = self.emformer.step(params["emformer"], state["emformer"],
                                               mel_chunk)
         codes = jnp.argmax(logits, axis=-1)  # [B, seg]
         ret, conan_state = self.conan.stream_step(params["conan"], state["conan"],
-                                                  codes, style_ctx)
+                                                  codes, style_ctx,
+                                                  f0_noise=f0_noise)
         wav, voc_state = self.vocoder.step(params["vocoder"], state["vocoder"],
                                            ret["mel_out"])
         return wav, codes, {"emformer": em_state, "conan": conan_state,
                             "vocoder": voc_state}
 
-    def stream_scan(self, state: dict, mel_chunks: Array, style_ctx: dict):
+    def stream_scan(self, state: dict, mel_chunks: Array, style_ctx: dict,
+                    f0_noise_chunks: Array | None = None):
         """Run N chunk steps entirely on device via lax.scan.
 
-        mel_chunks: [N, B, seg+rc, 80] → (wavs [N, B, seg*hop, 1], codes,
-        final state). This is the device-speed path: no per-chunk host
-        dispatch, so it measures/realizes the hardware per-chunk time and is
-        the fastest way to batch-convert recorded audio chunkwise."""
+        mel_chunks: [N, B, seg+rc, 80] (+ optional f0_noise_chunks
+        [N, B, seg, 1]) → (wavs [N, B, seg*hop, 1], codes, final state). This
+        is the device-speed path: no per-chunk host dispatch, so it
+        measures/realizes the hardware per-chunk time and is the fastest way
+        to batch-convert recorded audio chunkwise."""
+        if f0_noise_chunks is None:
+            N, B = mel_chunks.shape[:2]
+            f0_noise_chunks = jnp.zeros((N, B, self.cfg.seg, 1))
         if not hasattr(self, "_scan_jit"):
             self._scan_jit = jax.jit(
                 lambda params, st, chunks, style: jax.lax.scan(
                     lambda s, c: (lambda w, cd, s2: (s2, (w, cd)))(
-                        *self._chunk_step(params, s, c, style)),
+                        *self._chunk_step(params, s, c[0], style, c[1])),
                     st, chunks))
-        st, (wavs, codes) = self._scan_jit(self._params, state, mel_chunks, style_ctx)
+        st, (wavs, codes) = self._scan_jit(self._params, state,
+                                           (mel_chunks, f0_noise_chunks), style_ctx)
         return wavs, codes, st
 
     # ------------------------------------------------------------------
@@ -168,12 +180,20 @@ class StreamingVoiceConversion:
         return wav2mel_frontend(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
 
     def infer_once(self, src_wav: np.ndarray, ref_wav: np.ndarray,
-                   collect_codes: bool = False, use_scan: bool = False):
+                   collect_codes: bool = False, use_scan: bool = False,
+                   rng=None):
         """Full streaming conversion of one (or a batch of) utterance(s).
 
         Like the reference engine, the source mel is computed up-front and
         consumed chunkwise; the REFERENCE mel is fully available before
         streaming starts (the paper's structural insight).
+
+        For ``f0_gen='flow'`` the per-utterance rectified-flow x0 is sampled
+        up-front (same default key and derivation as ``infer_offline``, so
+        streaming == offline holds for the flow path too — the reference
+        likewise draws one noise per utterance,
+        `/root/reference/modules/Conan/flow/flow_f0.py:124-145`) and sliced
+        chunk-by-chunk into the fused step.
 
         ``use_scan=True`` runs the chunk loop on-device via lax.scan —
         identical output, and immune to per-chunk host-dispatch overhead
@@ -190,12 +210,21 @@ class StreamingVoiceConversion:
         T_pad = ((T + seg - 1) // seg) * seg
         pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
         mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)  # [B, T_pad+rc, 80]
+        if cfg.conan.f0_gen == "flow":
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            noise_full = self.conan.sample_f0_noise(rng, B, T_pad)
+        else:
+            noise_full = jnp.zeros((B, T_pad, 1))
         state = self.init_state(B)
         if use_scan:
             n = T_pad // seg
             idx = (np.arange(n)[:, None] * seg + np.arange(seg + rc)[None, :])
             chunks = jnp.moveaxis(mel_ext[:, idx], 1, 0)  # [N, B, seg+rc, 80]
-            wavs, codes, state = self.stream_scan(state, chunks, style_ctx)
+            noise_chunks = jnp.moveaxis(
+                noise_full.reshape(B, n, seg, 1), 1, 0)  # [N, B, seg, 1]
+            wavs, codes, state = self.stream_scan(state, chunks, style_ctx,
+                                                  noise_chunks)
             wav_out = jnp.moveaxis(wavs, 0, 1).reshape(B, -1, 1)[:, : T * cfg.mel.hop, 0]
             if collect_codes:
                 codes_full = jnp.moveaxis(codes, 0, 1).reshape(B, -1)[:, :T]
@@ -204,7 +233,8 @@ class StreamingVoiceConversion:
         wav_chunks = []
         codes_all = []
         for s in range(0, T_pad, seg):
-            wav, codes, state = self._step(state, mel_ext[:, s:s + seg + rc], style_ctx)
+            wav, codes, state = self._step(state, mel_ext[:, s:s + seg + rc],
+                                           style_ctx, noise_full[:, s:s + seg])
             wav_chunks.append(wav)
             if collect_codes:
                 codes_all.append(codes)

@@ -294,6 +294,18 @@ class Conan:
         ret["vq_state"] = new_vq_state
         return ret
 
+    def sample_f0_noise(self, rng, batch: int, length: int) -> Array:
+        """Rectified-flow x0 for ``f0_gen='flow'`` inference, with the SAME
+        key derivation ``apply()`` uses internally (rngs = split(rng, 8);
+        prosody and aligner each consume one when style=True, then the pitch
+        head draws x0).  Generating the utterance's noise up-front through
+        this helper and slicing it per chunk makes engine streaming
+        bit-match engine offline — the reference samples one x0 per utterance
+        too (`/root/reference/modules/Conan/flow/flow_f0.py:124-145`)."""
+        idx = 2 if self.cfg.style else 0
+        key = jax.random.split(rng, 8)[idx]
+        return jax.random.normal(key, (batch, length, 1))
+
     # ----------------------------------------------------------- streaming
     def prepare_style(self, params: Params, vq_state: Params | None, ref: Array) -> dict:
         """Precompute everything derived from the reference utterance — runs
