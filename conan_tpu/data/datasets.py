@@ -120,6 +120,7 @@ class ConanDataset(SpeechDataset):
             "f0": collate_1d([s["f0"] for s in samples], 0.0, target_len),
             "uv": collate_1d([s["uv"] for s in samples], 0.0, target_len),
             "mel_lengths": np.asarray([s["mel"].shape[0] for s in samples], np.int64),
+            "spk_ids": np.asarray([s["spk_id"] for s in samples], np.int64),
         }
         if all("spk_embed" in s for s in samples):  # use_spk_embed path
             batch["spk_embed"] = np.stack([s["spk_embed"] for s in samples])

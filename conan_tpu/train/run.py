@@ -115,7 +115,32 @@ def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
 
             ds = ConanDataset(data_dir, "valid", hp)
             batches = [ds.collate([ds[i]]) for i in range(min(n_batches, len(ds)))]
-            return make_conan_valid_fn(task, batches, work_dir=hp["work_dir"])
+            # vocoder-backed validation audio (reference builds the registry
+            # vocoder in validation_start, tasks/Conan/base_gen_task.py:132)
+            vocoder = vocoder_params = None
+            voc_dir = hp.get("vocoder_ckpt")
+            if voc_dir and os.path.isdir(voc_dir):
+                try:
+                    import jax.numpy as jnp
+
+                    from conan_tpu.infer.build import _load_dir_config, get_vocoder_cls
+                    from conan_tpu.models.vocoder.hifigan import HifiGanConfig
+                    from conan_tpu.train.checkpoint import load_ckpt_state
+                    import jax
+
+                    hp_voc = _load_dir_config(voc_dir)
+                    vocoder = get_vocoder_cls(hp.get("vocoder", "HifiGAN"))(
+                        HifiGanConfig.from_hparams(hp_voc)
+                        if "upsample_rates" in hp_voc else HifiGanConfig())
+                    vocoder_params = jax.tree.map(
+                        jnp.asarray, load_ckpt_state(voc_dir, "params_g"))
+                except Exception as e:
+                    log.warning("validation vocoder unavailable: %s", e)
+                    vocoder = vocoder_params = None
+            return make_conan_valid_fn(task, batches, work_dir=hp["work_dir"],
+                                       vocoder=vocoder,
+                                       vocoder_params=vocoder_params,
+                                       sample_rate=hp.get("audio_sample_rate", 16000))
         if kind == "emformer":
             from conan_tpu.train.validation import make_emformer_valid_fn
 
@@ -123,7 +148,7 @@ def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
             batches = [ds.collate([ds[i]], seg=hp["chunk_size"] // 20,
                                   rc=hp["right_context"])
                        for i in range(min(n_batches, len(ds)))]
-            return make_emformer_valid_fn(task, batches)
+            return make_emformer_valid_fn(task, batches, work_dir=hp["work_dir"])
         if kind == "vocoder":
             from conan_tpu.train.validation import make_vocoder_valid_fn
 
@@ -138,7 +163,14 @@ def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
 def run_test(hp) -> None:
     """--infer: convert the test split chunkwise through the composed
     streaming engine and save wavs (reference ConanTask.test_step,
-    tasks/Conan/Conan.py:214-284)."""
+    tasks/Conan/Conan.py:214-284).
+
+    Every ``test_consistency_interval`` items (default 8) the same utterance
+    is ALSO synthesized through the offline 3-stage composition and compared
+    allclose — the reference re-verifies incremental consistency on real data
+    at synthesis time (`tasks/vocoder/hifigan.py:351-396`); with trained
+    checkpoints this is where precision drift would first appear.  Drift
+    raises RuntimeError."""
     import os
 
     import numpy as np
@@ -152,33 +184,87 @@ def run_test(hp) -> None:
     gen_dir = os.path.join(hp["work_dir"],
                            f"generated_{hp.get('resume_from_checkpoint', 'last')}")
     os.makedirs(gen_dir, exist_ok=True)
+    import jax
     import jax.numpy as jnp
 
+    check_every = int(hp.get("test_consistency_interval", 8))
+    checked = 0
     for i in range(len(ds)):
         s = ds[i]
-        # codes come from the binarized teacher stream; style from ref mel
         style = eng._prepare(jnp.asarray(s["ref_mel"][None]))
         state = eng.init_state(1)
         T = len(s["content"])
         seg, rc = eng.cfg.seg, eng.cfg.rc
         T_pad = -(-T // seg) * seg
         mel_src = np.pad(s["mel"], ((0, T_pad - T + rc), (0, 0)), mode="edge")
+        noise = eng.conan.sample_f0_noise(jax.random.PRNGKey(i), 1, T_pad)
         chunks = []
         for t in range(0, T_pad, seg):
             wav, _codes, state = eng._step(state,
                                            jnp.asarray(mel_src[None, t:t + seg + rc]),
-                                           style)
+                                           style, noise[:, t:t + seg])
             chunks.append(np.asarray(wav[0, :, 0]))
         wav_full = np.concatenate(chunks)[: T * hp["hop_size"]]
+        if check_every > 0 and i % check_every == 0:
+            logits = eng.emformer.apply(eng.p_emformer, jnp.asarray(mel_src[None]))
+            codes = jnp.argmax(logits, -1)
+            ret = eng.conan.apply(eng.p_conan, codes,
+                                  ref=jnp.asarray(s["ref_mel"][None]),
+                                  vq_state=eng.vq_state, infer=True,
+                                  global_step=200000,
+                                  initial_noise=noise,
+                                  rng=jax.random.PRNGKey(i))
+            wav_off = np.asarray(eng.vocoder.apply(
+                eng.p_vocoder, ret["mel_out"])[0, : T * hp["hop_size"], 0])
+            diff = float(np.abs(wav_full - wav_off).max())
+            if diff > float(hp.get("test_consistency_atol", 1e-3)):
+                raise RuntimeError(
+                    f"incremental-consistency drift on item {s['item_name']}: "
+                    f"max |stream - offline| = {diff:.3e}")
+            checked += 1
         save_wav(os.path.join(gen_dir, f"{s['item_name']}.wav"), wav_full,
                  hp["audio_sample_rate"])
         log.info("[%d/%d] %s", i + 1, len(ds), s["item_name"])
+    if checked:
+        log.info("incremental-consistency guard: %d/%d items verified "
+                 "stream==offline", checked, len(ds))
+
+
+def run_validate(hp) -> None:
+    """--validate: evaluate the newest checkpoint on the validation split and
+    print/log the metrics without training (reference hparams.py:34 flag +
+    trainer.py validate path)."""
+    import json
+
+    import jax
+
+    from conan_tpu.train.checkpoint import get_last_checkpoint
+
+    task, kind = build_task(hp)
+    valid_fn = build_valid_fn(hp, task, kind)
+    if valid_fn is None:
+        log.error("no validation split under %s", hp["binary_data_dir"])
+        return
+    ckpt, path = get_last_checkpoint(hp["work_dir"])
+    if ckpt is None:
+        log.error("no checkpoint in %s", hp["work_dir"])
+        return
+    step = int(ckpt["global_step"])
+    log.info("validating %s (step %d)", path, step)
+    from conan_tpu.ops.precision import precision_scope
+
+    with precision_scope(hp.get("train_precision", "highest")):
+        vm = valid_fn(jax.device_get(ckpt["state"]), step)
+    print(json.dumps({"step": step, **{k: float(v) for k, v in vm.items()}}))
 
 
 def main(argv=None) -> None:
     hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
     if hp.get("infer"):
         run_test(hp)
+        return
+    if hp.get("validate"):
+        run_validate(hp)
         return
     task, kind = build_task(hp)
     static = {}

@@ -143,7 +143,11 @@ class VocoderTask:
         upd_d, opt_d_new = self.opt_d.update(grads_d, state["opt_d"], state["params_d"])
         params_d, opt_d = _gated_update(ok_d, state["params_d"], upd_d,
                                         opt_d_new, state["opt_d"])
-        metrics = {**gl, **dl, "total_g": gtot, "total_d": dtot}
+        metrics = {**gl, **dl, "total_g": gtot, "total_d": dtot,
+                   # surfaced so the trainer can WARN about NaN-skipped
+                   # updates instead of silently freezing (reference prints
+                   # and exits on NaN grads, trainer.py:356-363)
+                   "skipped": 1.0 - ok_g.astype(jnp.float32)}
         new_state = {"params_g": params_g, "params_d": params_d,
                      "opt_g": opt_g, "opt_d": opt_d, "step": step + 1}
         return new_state, metrics
@@ -198,6 +202,8 @@ class ConanTask:
         r_model, r_disc = jax.random.split(rng)
         out = self.model.apply(pg, content, ref=ref, vq_state=vq_state,
                                spk_embed=batch.get("spk_embed"),
+                               spk_id=(batch.get("spk_ids")
+                                       if self.cfg.use_spk_id else None),
                                f0=f0, uv=uv, infer=False, global_step=step,
                                rng=r_model, train=True, axis_name=axis_name,
                                vq_start=hp.get("vq_start", 20500),
@@ -295,7 +301,8 @@ class ConanTask:
         params_d, opt_d = _gated_update(ok_d, state["params_d"], upd_d,
                                         opt_d_new, state["opt_d"])
         metrics = {**gl, **{f"d_{k}": jnp.where(d_gate, v, 0.0) for k, v in dl.items()},
-                   "total_g": gtot}
+                   "total_g": gtot,
+                   "skipped": 1.0 - ok_g.astype(jnp.float32)}
         new_state = {"params_g": params_g, "params_d": params_d, "vq_state": vq_state,
                      "opt_g": opt_g, "opt_d": opt_d, "step": step + 1}
         return new_state, metrics
@@ -347,7 +354,7 @@ class PostnetTask:
         params, opt = _gated_update(ok, state["params"], upd, opt_new, state["opt"])
         return ({"params": params, "opt": opt, "step": state["step"] + 1,
                  "frozen": state["frozen"]},
-                {"flow": loss})
+                {"flow": loss, "skipped": 1.0 - ok.astype(jnp.float32)})
 
 
 # ---------------------------------------------------------------------------
@@ -394,4 +401,5 @@ class EmformerTask:
         upd, opt_new = self.opt.update(grads, state["opt"], state["params"])
         params, opt = _gated_update(ok, state["params"], upd, opt_new, state["opt"])
         return ({"params": params, "opt": opt, "step": state["step"] + 1},
-                {"ce": loss, "acc": acc})
+                {"ce": loss, "acc": acc,
+                 "skipped": 1.0 - ok.astype(jnp.float32)})

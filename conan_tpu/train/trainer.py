@@ -173,6 +173,15 @@ class Trainer:
                 avg = {k: m.avg for k, m in meters.items()}
                 avg["steps_per_s"] = self.tb_log_interval / (time.time() - t_last)
                 t_last = time.time()
+                if avg.get("skipped", 0.0) > 0:
+                    # NaN-gated updates were skipped inside the jitted step —
+                    # surface it loudly (reference prints + exits on NaN
+                    # grads, trainer.py:356-363; we skip-and-continue but must
+                    # not look like healthy training)
+                    log.warning("step %d: %.0f of the last %d updates were "
+                                "SKIPPED (non-finite grads)", step,
+                                avg["skipped"] * self.tb_log_interval,
+                                self.tb_log_interval)
                 self._log(step, avg)
                 log.info("step %d: %s", step,
                          " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
