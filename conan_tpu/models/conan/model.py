@@ -45,6 +45,8 @@ class ConanConfig:
     content_vocab: int = 102
     silent_token: int = 57
     style: bool = True
+    use_spk_id: bool = False
+    num_spk: int = 120
     n_vq: int = 512
     vae_dropout: float = 0.0
     lambda_commit: float = 0.25
@@ -71,7 +73,9 @@ class ConanConfig:
             hidden_size=hp["hidden_size"], kernel_size=hp["kernel_size"],
             n_mels=hp.get("audio_num_mel_bins", 80),
             content_vocab=hp.get("content_embedding_dim", 102),
-            silent_token=hp["silent_token"], style=hp["style"], n_vq=hp["nVQ"],
+            silent_token=hp["silent_token"], style=hp["style"],
+            use_spk_id=hp.get("use_spk_id", False),
+            num_spk=hp.get("num_spk", 120), n_vq=hp["nVQ"],
             vae_dropout=hp.get("vae_dropout", 0.0),
             lambda_commit=hp.get("lambda_commit", 0.25),
             f0_gen=hp["f0_gen"], predictor_kernel=hp["predictor_kernel"],
@@ -137,6 +141,11 @@ class Conan:
             p["prosody"] = self.prosody.init(next(keys))
             p["l1"] = init_linear(next(keys), H, 2 * H)
             p["aligner"] = self.aligner.init(next(keys))
+        if cfg.use_spk_id:
+            # FastSpeech skeleton spk-id embedding (fs.py:59-60 uses
+            # layers.Embedding → N(0, dim^-0.5)); summed into the style
+            # vector like forward_style_embed (fs.py:113-117)
+            p["spk_id_proj"] = init_embedding(next(keys), cfg.num_spk, H)
         if cfg.f0_gen == "flow":
             p["f0_net"] = self.f0_net.init(next(keys))
         return p
@@ -216,7 +225,8 @@ class Conan:
 
     # ----------------------------------------------------------- forward
     def apply(self, params: Params, content: Array, *, ref: Array | None = None,
-              spk_embed: Array | None = None, vq_state: Params | None = None,
+              spk_embed: Array | None = None, spk_id: Array | None = None,
+              vq_state: Params | None = None,
               f0: Array | None = None, uv: Array | None = None,
               infer: bool = False, global_step: Array | int = 0,
               rng=None, train: bool = False, axis_name: str | None = None,
@@ -243,6 +253,9 @@ class Conan:
         else:
             assert ref is not None
             style = self.encode_spk_embed(params, ref)
+        if cfg.use_spk_id and spk_id is not None:
+            # summed like the skeleton's forward_style_embed (fs.py:101-110)
+            style = style + embedding(spk_id, params["spk_id_proj"])[:, None, :]
         ret["style_embed"] = style
         pitch_inp = ce + style
 

@@ -211,11 +211,14 @@ class E2E0:
 # decode + postprocess (utils.py / inference.py)
 # ---------------------------------------------------------------------------
 
-def to_local_average_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
-    """[B, T, 360] salience → [B, T] f0 Hz (utils.py:8-24)."""
+def to_local_average_f0(hidden: np.ndarray, center: np.ndarray | None = None,
+                        thred: float = 0.03) -> np.ndarray:
+    """[B, T, 360] salience → [B, T] f0 Hz (utils.py:8-24).  ``center``
+    [B, T, 1] overrides the argmax path (used by the Viterbi decoder)."""
     idx = np.arange(N_CLASS)[None, None, :]
     idx_cents = idx * 20 + CONST
-    center = np.argmax(hidden, axis=2, keepdims=True)
+    if center is None:
+        center = np.argmax(hidden, axis=2, keepdims=True)
     start = np.clip(center - 4, 0, None)
     end = np.clip(center + 5, None, N_CLASS)
     mask = (idx >= start) & (idx < end)
@@ -226,6 +229,46 @@ def to_local_average_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
     f0 = 10 * 2 ** (cents / 1200)
     uv = hidden.max(axis=2) < thred
     return f0 * ~uv
+
+
+def _viterbi(prob: np.ndarray, transition: np.ndarray) -> np.ndarray:
+    """librosa.sequence.viterbi semantics: prob [S, T] observation
+    likelihoods (columns need not be normalized), transition [S, S]
+    row-stochastic, uniform initial distribution; returns the max-likelihood
+    state path [T]."""
+    S, T = prob.shape
+    tiny = np.finfo(np.float64).tiny
+    log_p = np.log(prob.astype(np.float64) + tiny)
+    log_t = np.log(transition.astype(np.float64) + tiny)
+    value = np.empty((T, S))
+    ptr = np.empty((T, S), np.int64)
+    value[0] = log_p[:, 0] + np.log(1.0 / S)
+    for t in range(1, T):
+        trans = value[t - 1][:, None] + log_t  # [S_prev, S]
+        ptr[t] = np.argmax(trans, axis=0)
+        value[t] = log_p[:, t] + trans[ptr[t], np.arange(S)]
+    path = np.empty(T, np.int64)
+    path[-1] = int(np.argmax(value[-1]))
+    for t in range(T - 2, -1, -1):
+        path[t] = ptr[t + 1][path[t + 1]]
+    return path
+
+
+def to_viterbi_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
+    """[B, T, 360] salience → [B, T] f0 Hz via Viterbi smoothing of the bin
+    path (utils.py:27-44: banded triangular transition of half-width 30,
+    librosa.sequence.viterbi — reimplemented above since librosa is absent),
+    then the same local-average cents refinement around the decoded path."""
+    xx, yy = np.meshgrid(range(N_CLASS), range(N_CLASS))
+    transition = np.maximum(30 - np.abs(xx - yy), 0).astype(np.float64)
+    transition = transition / transition.sum(axis=1, keepdims=True)
+    centers = []
+    for b in range(hidden.shape[0]):
+        prob = hidden[b].T  # [S, T]
+        prob = prob / np.maximum(prob.sum(axis=0), 1e-20)
+        centers.append(_viterbi(prob, transition))
+    center = np.stack(centers)[:, :, None]
+    return to_local_average_f0(hidden, center=center, thred=thred)
 
 
 def postprocess_f0(f0: np.ndarray, fmin: float = 50, fmax: float = 1000,
@@ -286,17 +329,21 @@ class RMVPE:
         hidden = self.model.apply(params, mel)
         return hidden[:, :n]
 
-    def infer_from_audio(self, audio: np.ndarray, thred: float = 0.03) -> np.ndarray:
+    def infer_from_audio(self, audio: np.ndarray, thred: float = 0.03,
+                         use_viterbi: bool = False) -> np.ndarray:
         if audio.ndim == 1:
             audio = audio[None]
         hidden = np.asarray(self._infer(self.params,
                                         jnp.asarray(audio.astype(np.float32))))
-        return to_local_average_f0(hidden, thred)[0]
+        decode = to_viterbi_f0 if use_viterbi else to_local_average_f0
+        return decode(hidden, thred=thred)[0]
 
     def get_pitch(self, waveform: np.ndarray, sample_rate: int, hop_size: int,
-                  length: int, fmin: float = 50, fmax: float = 1000):
+                  length: int, fmin: float = 50, fmax: float = 1000,
+                  use_viterbi: bool = False):
         assert sample_rate == SAMPLE_RATE, "resample offline first"
-        f0 = postprocess_f0(self.infer_from_audio(waveform), fmin, fmax)
+        f0 = postprocess_f0(self.infer_from_audio(waveform, use_viterbi=use_viterbi),
+                            fmin, fmax)
         uv = f0 == 0
         ts = hop_size / sample_rate
         f0_res = resample_align_curve(f0, 0.01, ts, length)

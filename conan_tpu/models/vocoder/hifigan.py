@@ -137,7 +137,17 @@ class HifiGanGenerator:
             elif cfg.upsample == "zero":
                 st[f"ups.{i}"] = ops.causal_conv1d_state(batch, cin, k, dtype=dtype)
             else:
-                raise NotImplementedError("streaming for upsample='nn' is not supported")
+                # 'nn' (trimmed transposed conv, hifigan_causal.py:60-141) is
+                # NOT incrementally streamable: emitted sample m depends on
+                # input frames t ∈ [⌈m/s⌉, ⌊(m+k-1)/s⌋] — up to ⌈(k-1)/s⌉
+                # frames of FUTURE input — so chunk output ≠ offline prefix by
+                # construction.  The reference never streams it either (its
+                # engine re-runs the full prefix each chunk and ships
+                # 'shuffle'); offline parity is golden-tested.  See PARITY.md.
+                raise NotImplementedError(
+                    "upsample='nn' is not prefix-consistent (transposed-conv "
+                    "outputs depend on future input frames); streaming is "
+                    "only defined for 'shuffle' and 'zero'")
             for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
                 for j, d in enumerate(rd):
                     if cfg.resblock == "1":

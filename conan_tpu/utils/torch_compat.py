@@ -159,6 +159,8 @@ def conan_from_torch(sd: dict, cfg) -> tuple[dict, dict | None]:
                                           cfg.layers_in_block, causal=True),
         "mel_out": _lin(sd, "mel_out"),
     }
+    if "spk_id_proj.weight" in sd:  # use_spk_id path (fs.py:59-60)
+        p["spk_id_proj"] = {"w": _g(sd, "spk_id_proj.weight")}
     vq_state = None
     if cfg.style:
         p["prosody"] = {

@@ -62,3 +62,48 @@ def test_postprocess_and_resample():
     assert out[4] == 200                      # long run kept
     curve = resample_align_curve(np.arange(10, dtype=float), 0.01, 0.02, 5)
     np.testing.assert_allclose(curve, [0, 2, 4, 6, 8])
+
+
+def test_viterbi_matches_bruteforce(rng):
+    """The Viterbi decoder (librosa.sequence.viterbi reimplementation —
+    librosa absent in image) must find the exact max-likelihood path:
+    oracle = exhaustive enumeration over a small state space."""
+    import itertools
+
+    from conan_tpu.models.rmvpe import _viterbi
+
+    S, T = 4, 6
+    prob = rng.random((S, T)).astype(np.float64) + 1e-3
+    trans = rng.random((S, S)).astype(np.float64) + 1e-3
+    trans /= trans.sum(1, keepdims=True)
+    got = _viterbi(prob, trans)
+    best, best_ll = None, -np.inf
+    for path in itertools.product(range(S), repeat=T):
+        ll = np.log(1.0 / S) + np.log(prob[path[0], 0])
+        for t in range(1, T):
+            ll += np.log(trans[path[t - 1], path[t]]) + np.log(prob[path[t], t])
+        if ll > best_ll:
+            best_ll, best = ll, path
+    assert tuple(got) == best
+
+
+def test_viterbi_f0_smooths_outlier(rng):
+    """An isolated one-frame 100-bin jump survives local-average decode but is
+    smoothed away by the banded-transition Viterbi (utils.py:27-44: jumps of
+    ≥30 bins have zero transition probability)."""
+    from conan_tpu.models.rmvpe import to_viterbi_f0
+
+    T = 20
+    hidden = np.full((1, T, 360), 1e-4, np.float32)
+    path = np.full(T, 180)
+    path[10] = 300  # outlier
+    hidden[0, np.arange(T), path] = 0.9
+    hidden[0, 10, 180] = 0.5  # the true bin still has some mass
+    f0_local = to_local_average_f0(hidden)
+    f0_vit = to_viterbi_f0(hidden)
+    semis_local = np.abs(np.diff(np.log2(f0_local[0] + 1e-9)))
+    semis_vit = np.abs(np.diff(np.log2(f0_vit[0] + 1e-9)))
+    assert semis_local.max() > 1.0      # local decode keeps the glitch
+    assert semis_vit.max() < 0.5        # viterbi rejects the >=30-bin jump
+    # away from the outlier the two decodes agree
+    np.testing.assert_allclose(f0_vit[0, :9], f0_local[0, :9], rtol=1e-6)
