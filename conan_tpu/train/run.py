@@ -102,19 +102,36 @@ def build_train_iter(hp, kind: str):
     raise ValueError(kind)
 
 
-def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
-    """A few fixed validation batches (reference num_sanity_val_steps-style)."""
+def build_valid_fn(hp, task, kind: str):
+    """Fixed validation batches — up to ``num_valid_stats`` items (default 16)
+    for loss statistics, shape-bucketed so XLA compiles stay bounded.  The
+    reference evaluates its whole valid split every interval
+    (`/root/reference/utils/commons/trainer.py:259-300`); here the item count
+    is capped (tunnel dispatch is the bottleneck) but well above the 4
+    single-item batches round 1 shipped."""
     import os
 
     data_dir = hp["binary_data_dir"]
     if not os.path.exists(f"{data_dir}/valid_lengths.npy"):
         return None
+    n_stats = int(hp.get("num_valid_stats", 16))
     try:
         if kind == "conan":
             from conan_tpu.train.validation import make_conan_valid_fn
 
             ds = ConanDataset(data_dir, "valid", hp)
-            batches = [ds.collate([ds[i]]) for i in range(min(n_batches, len(ds)))]
+            # Single-item batches (mel losses are unmasked — padding would
+            # pollute them), frame-CROPPED down to a 128-frame grid so a
+            # handful of shapes serves all items.
+            def _crop_item(s):
+                T = max(64, s["mel"].shape[0] // 64 * 64)
+                s = dict(s, mel=s["mel"][:T], content=s["content"][:T],
+                         f0=s["f0"][:T], uv=s["uv"][:T])
+                s["ref_mel"] = s["ref_mel"][:max(64, s["ref_mel"].shape[0] // 64 * 64)]
+                return s
+
+            batches = [ds.collate([_crop_item(ds[i])])
+                       for i in range(min(n_stats, len(ds)))]
             # vocoder-backed validation audio (reference builds the registry
             # vocoder in validation_start, tasks/Conan/base_gen_task.py:132)
             vocoder = vocoder_params = None
@@ -145,15 +162,27 @@ def build_valid_fn(hp, task, kind: str, n_batches: int = 4):
             from conan_tpu.train.validation import make_emformer_valid_fn
 
             ds = EmformerDataset(data_dir, "valid", hp)
-            batches = [ds.collate([ds[i]], seg=hp["chunk_size"] // 20,
+            # CE/accuracy are −1-masked, so items batch together safely;
+            # length-sort + bucket the pad target to bound compile count.
+            items = sorted((ds[i] for i in range(min(n_stats, len(ds)))),
+                           key=lambda s: s["mel"].shape[0])
+            ladder = BucketLadder(min_len=64, max_len=hp.get("max_frames", 3000))
+            batches = [ds.collate(items[j:j + 4],
+                                  target_len=ladder.fit(
+                                      max(s["mel"].shape[0]
+                                          for s in items[j:j + 4])),
+                                  seg=hp["chunk_size"] // 20,
                                   rc=hp["right_context"])
-                       for i in range(min(n_batches, len(ds)))]
+                       for j in range(0, len(items), 4)]
             return make_emformer_valid_fn(task, batches, work_dir=hp["work_dir"])
         if kind == "vocoder":
             from conan_tpu.train.validation import make_vocoder_valid_fn
 
             ds = VocoderDataset(data_dir, "valid", hp)
-            batches = [ds.collate([ds[i]]) for i in range(min(n_batches, len(ds)))]
+            # crops are a fixed max_samples window — batches of 4 share one shape
+            n = min(n_stats, len(ds))
+            batches = [ds.collate([ds[i] for i in range(j, min(j + 4, n))])
+                       for j in range(0, n, 4)]
             return make_vocoder_valid_fn(task, batches)
     except Exception as e:  # missing split etc. — validation is optional
         log.warning("no validation set: %s", e)

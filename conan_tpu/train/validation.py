@@ -80,6 +80,7 @@ def make_emformer_valid_fn(task, valid_batches: list[dict],
         m["val_loss"] = m["ce"]  # the monitored total (reference val_loss)
         return m
 
+    valid_fn.batches = valid_batches
     return valid_fn
 
 
@@ -136,6 +137,7 @@ def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None
                              np.asarray(wav_g[0, :, 0]), sample_rate)
         return {k: v / max(n, 1) for k, v in metrics.items()}
 
+    valid_fn.batches = valid_batches
     return valid_fn
 
 
@@ -154,4 +156,5 @@ def make_vocoder_valid_fn(task, valid_batches: list[dict]):
         m["val_loss"] = m.get("total", 0.0)  # monitored key (reference val_loss)
         return m
 
+    valid_fn.batches = valid_batches
     return valid_fn

@@ -3,6 +3,8 @@ resume, on the synthetic corpus and the virtual CPU mesh."""
 
 import json
 
+import jax
+
 import numpy as np
 import yaml
 
@@ -67,3 +69,54 @@ def test_trainer_fit_and_resume(tmp_path, rng):
     trainer2 = Trainer(task, hp.replace(max_updates=6), work)
     state2 = trainer2.fit(build_train_iter(hp, "emformer"))
     assert int(np.asarray(state2["step"])) == 6
+
+
+def test_build_valid_fn_statistics(tmp_path, rng):
+    """Validation covers num_valid_stats items with bounded shapes (round-1
+    weakness: 4 single-item batches; reference evaluates the whole split,
+    utils/commons/trainer.py:259-300)."""
+    import types
+
+    from conan_tpu.train.run import build_valid_fn
+
+    speakers = _write_synth_corpus(tmp_path, rng, n_items=10)
+    hp = HParams({
+        "processed_data_dir": str(tmp_path / "processed"),
+        "binary_data_dir": str(tmp_path / "binary"),
+        "audio_sample_rate": 16000, "hop_size": 320, "fft_size": 1024,
+        "win_size": 1024, "audio_num_mel_bins": 80, "fmin": 80, "fmax": 7600,
+        "valid_prefixes": [speakers[0]], "test_prefixes": [speakers[0]],
+        "max_frames": 3000, "max_samples": 2560, "num_valid_stats": 8,
+        "emformer_input_dim": 80, "emformer_layers": 1, "chunk_size": 80,
+        "right_context": 2, "emformer_output_dim": 100, "lr": 1e-4,
+        "warmup_steps": 10, "optimizer_adam_beta1": 0.9,
+        "optimizer_adam_beta2": 0.98, "weight_decay": 0.0,
+        "clip_grad_norm": 1.0, "work_dir": str(tmp_path / "exp"),
+    })
+    ConanBinarizer(hp).process()
+
+    # emformer: multi-item −1-masked batches, executes end to end
+    task = EmformerTask(hp)
+    vf = build_valid_fn(hp, task, "emformer")
+    n_items = sum(b["nsamples"] for b in vf.batches)
+    assert n_items >= 4 and any(b["nsamples"] > 1 for b in vf.batches)
+    assert all(b["mels"].shape[1] % 4 == 2 for b in vf.batches)  # seg+rc pad
+    state = task.init_state(jax.random.PRNGKey(0))
+    m = vf(state, 0)
+    assert "val_loss" in m and np.isfinite(m["val_loss"])
+
+    # conan: single-item unmasked batches, frame-cropped onto a 64 grid
+    stub = types.SimpleNamespace(hp=hp, model=None)
+    vf = build_valid_fn(hp, stub, "conan")
+    assert len(vf.batches) >= 4
+    for b in vf.batches:
+        assert b["nsamples"] == 1
+        T = b["mels"].shape[1]
+        assert T <= 64 or T % 64 == 0  # short items kept; others cropped
+        assert (b["content"] != -1).all()  # crop, never pad
+
+    # vocoder: fixed-size crops batch together
+    vf = build_valid_fn(hp, stub, "vocoder")
+    mf = hp["max_samples"] // hp["hop_size"]
+    assert sum(b["mels"].shape[0] for b in vf.batches) >= 4
+    assert all(b["mels"].shape[1] == mf for b in vf.batches)
