@@ -121,13 +121,20 @@ def build_valid_fn(hp, task, kind: str):
 
             ds = ConanDataset(data_dir, "valid", hp)
             # Single-item batches (mel losses are unmasked — padding would
-            # pollute them), frame-CROPPED down to a 128-frame grid so a
-            # handful of shapes serves all items.
+            # pollute them), frame-CROPPED down to a power-of-two ladder:
+            # each distinct (T, ref_T) pair is a fresh XLA compile of the
+            # full infer graph, so the ladder must stay tiny (2-3 rungs).
+            def _p2floor(n):
+                p = 64
+                while p * 2 <= n:
+                    p *= 2
+                return p
+
             def _crop_item(s):
-                T = max(64, s["mel"].shape[0] // 64 * 64)
+                T = _p2floor(max(64, s["mel"].shape[0]))
                 s = dict(s, mel=s["mel"][:T], content=s["content"][:T],
                          f0=s["f0"][:T], uv=s["uv"][:T])
-                s["ref_mel"] = s["ref_mel"][:max(64, s["ref_mel"].shape[0] // 64 * 64)]
+                s["ref_mel"] = s["ref_mel"][:_p2floor(max(64, s["ref_mel"].shape[0]))]
                 return s
 
             batches = [ds.collate([_crop_item(ds[i])])
@@ -259,6 +266,67 @@ def run_test(hp) -> None:
                  "stream==offline", checked, len(ds))
 
 
+def run_test_vocoder(hp) -> None:
+    """--infer for vocoder experiments: copy-synthesize the test split and
+    re-verify incremental consistency on REAL mels (the reference's
+    `tasks/vocoder/hifigan.py:277-444` test_step streams prefix-growing
+    synthesis and assert-allcloses it against the complete output; here the
+    streaming path is the O(chunk) `step` with carried conv state).
+
+    Offline synthesis pads mel up to a 256-frame grid (bounded XLA shapes) —
+    the generator is causal, so padding only affects samples past T·hop,
+    which are trimmed."""
+    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from conan_tpu.data.record_store import RecordReader
+    from conan_tpu.infer.build import get_vocoder_cls
+    from conan_tpu.infer.run_vc import save_wav
+    from conan_tpu.models.vocoder.hifigan import HifiGanConfig
+    from conan_tpu.train.checkpoint import load_ckpt_state
+
+    work = hp["work_dir"]
+    gen = get_vocoder_cls(hp.get("vocoder", "HifiGAN"))(HifiGanConfig.from_hparams(hp))
+    params = jax.tree.map(jnp.asarray, load_ckpt_state(work, "params_g"))
+    reader = RecordReader(f"{hp['binary_data_dir']}/test")
+    gen_dir = os.path.join(work, "generated_test")
+    os.makedirs(gen_dir, exist_ok=True)
+    hop = hp["hop_size"]
+    seg = int(hp.get("infer_chunk_frames", 4))
+    check_every = int(hp.get("test_consistency_interval", 8))
+    apply_j = jax.jit(gen.apply)
+    step_j = jax.jit(gen.step)
+    checked = 0
+    for i in range(len(reader)):
+        item = reader[i]
+        mel = np.asarray(item["mel"], np.float32)
+        T = len(mel) // seg * seg
+        T_pad = -(-T // 256) * 256
+        mel_pad = np.pad(mel[:T], ((0, T_pad - T), (0, 0)), mode="edge")
+        wav = np.asarray(apply_j(params, jnp.asarray(mel_pad[None]))[0, : T * hop, 0])
+        if check_every > 0 and i % check_every == 0:
+            state = gen.init_state(1)
+            chunks = []
+            for t in range(0, T, seg):
+                y, state = step_j(params, state, jnp.asarray(mel[None, t:t + seg]))
+                chunks.append(np.asarray(y[0, :, 0]))
+            diff = float(np.abs(np.concatenate(chunks) - wav).max())
+            if diff > float(hp.get("test_consistency_atol", 1e-3)):
+                raise RuntimeError(
+                    f"incremental-consistency drift on item {item['item_name']}: "
+                    f"max |stream - offline| = {diff:.3e}")
+            checked += 1
+        save_wav(os.path.join(gen_dir, f"{item['item_name']}.wav"), wav,
+                 hp["audio_sample_rate"])
+        log.info("[%d/%d] %s", i + 1, len(reader), item["item_name"])
+    if checked:
+        log.info("incremental-consistency guard: %d/%d items verified "
+                 "stream==offline", checked, len(reader))
+
+
 def run_validate(hp) -> None:
     """--validate: evaluate the newest checkpoint on the validation split and
     print/log the metrics without training (reference hparams.py:34 flag +
@@ -290,7 +358,10 @@ def run_validate(hp) -> None:
 def main(argv=None) -> None:
     hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
     if hp.get("infer"):
-        run_test(hp)
+        if TASK_ALIASES.get(hp.get("task_cls", "conan")) == "vocoder":
+            run_test_vocoder(hp)
+        else:
+            run_test(hp)
         return
     if hp.get("validate"):
         run_validate(hp)

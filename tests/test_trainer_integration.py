@@ -112,7 +112,7 @@ def test_build_valid_fn_statistics(tmp_path, rng):
     for b in vf.batches:
         assert b["nsamples"] == 1
         T = b["mels"].shape[1]
-        assert T <= 64 or T % 64 == 0  # short items kept; others cropped
+        assert T < 64 or (T & (T - 1)) == 0  # short kept; others p2-cropped
         assert (b["content"] != -1).all()  # crop, never pad
 
     # vocoder: fixed-size crops batch together
@@ -120,3 +120,34 @@ def test_build_valid_fn_statistics(tmp_path, rng):
     mf = hp["max_samples"] // hp["hop_size"]
     assert sum(b["mels"].shape[0] for b in vf.batches) >= 4
     assert all(b["mels"].shape[1] == mf for b in vf.batches)
+
+
+def test_run_test_vocoder_infer(tmp_path, rng):
+    """Vocoder --infer: copy-synthesis of the test split with the on-data
+    incremental-consistency guard (reference tasks/vocoder/hifigan.py:277-444)."""
+    import os
+
+    from conan_tpu.models.vocoder.hifigan import HifiGanConfig, HifiGanGenerator
+    from conan_tpu.train.run import run_test_vocoder
+
+    speakers = _write_synth_corpus(tmp_path, rng, n_items=6)
+    hp = HParams({
+        "processed_data_dir": str(tmp_path / "processed"),
+        "binary_data_dir": str(tmp_path / "binary"),
+        "audio_sample_rate": 16000, "hop_size": 320, "fft_size": 1024,
+        "win_size": 1024, "audio_num_mel_bins": 80, "fmin": 80, "fmax": 7600,
+        "valid_prefixes": [speakers[0]], "test_prefixes": [speakers[0]],
+        "max_frames": 3000, "work_dir": str(tmp_path / "exp"),
+        # tiny generator matching hop 320 = 8*5*4*2
+        "upsample_initial_channel": 16,
+        "upsample_rates": [8, 5, 4, 2], "upsample_kernel_sizes": [16, 10, 8, 4],
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+        "test_consistency_interval": 2,
+    })
+    ConanBinarizer(hp).process()
+    gen = HifiGanGenerator(HifiGanConfig.from_hparams(hp))
+    save_checkpoint(hp["work_dir"], 10,
+                    {"params_g": gen.init(jax.random.PRNGKey(0))})
+    run_test_vocoder(hp)  # raises on stream/offline drift
+    wavs = os.listdir(f"{hp['work_dir']}/generated_test")
+    assert len(wavs) > 0 and all(w.endswith(".wav") for w in wavs)

@@ -1,0 +1,56 @@
+"""Summarize a finished soak run into a small git-committable manifest.
+
+Checkpoints are hundreds of MB (GAN params + Adam moments) — too big for git —
+so the committed evidence per experiment is: config.yaml, metrics.jsonl, the
+validation artifacts (plots/wavs/code dumps), and a manifest.json recording
+every checkpoint's name/size/sha256 plus the metric trajectories (VERDICT r1
+item #9: prove the full Trainer loop end-to-end on hardware).
+
+Usage: python tools/soak_manifest.py checkpoints/soak_r2_voc [...more dirs]
+Writes <dir>/manifest.json and prints the `git add -f` line for the evidence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+import sys
+
+
+def summarize(exp: pathlib.Path) -> list[str]:
+    ckpts = []
+    for p in sorted(exp.glob("model_ckpt_steps_*.ckpt")):
+        h = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        ckpts.append({"file": p.name, "bytes": p.stat().st_size,
+                      "sha256": h.hexdigest()})
+    tr, val = [], []
+    for line in open(exp / "metrics.jsonl"):
+        m = json.loads(line)
+        (val if m.get("prefix") == "val" else tr).append(m)
+    manifest = {
+        "exp": exp.name,
+        "checkpoints": ckpts,
+        "train_first": tr[0] if tr else None,
+        "train_last": tr[-1] if tr else None,
+        "val_trajectory": [{"step": m["step"], "val_loss": m.get("val_loss")}
+                           for m in val],
+    }
+    with open(exp / "manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+    small = [str(exp / "config.yaml"), str(exp / "metrics.jsonl"),
+             str(exp / "manifest.json")]
+    for sub in ("valid_plots", "valid_wavs", "valid_codes"):
+        if (exp / sub).is_dir():
+            small += [str(q) for q in sorted((exp / sub).iterdir())][:12]
+    return small
+
+
+if __name__ == "__main__":
+    files = []
+    for d in sys.argv[1:]:
+        files += summarize(pathlib.Path(d))
+    print("git add -f " + " ".join(files))
