@@ -187,19 +187,36 @@ def bench_emformer(precision: str):
                 if flops else None)
 
 
-def main():
+def main(argv=None):
+    import argparse
+    import os
+
     import jax
 
-    results = []
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma list of task:precision (e.g. conan_gan:default); "
+                         "matching entries in an existing BENCH_TRAIN.json are "
+                         "replaced, others kept")
+    args = ap.parse_args(argv)
+
     # shipped precisions first so a timeout still yields the headline numbers
     plan = [
-        (bench_vocoder, "default"),   # shipped (bf16)
-        (bench_conan, "highest"),     # shipped
-        (bench_emformer, "highest"),
-        (bench_vocoder, "highest"),
-        (bench_conan, "default"),
+        (bench_vocoder, "vocoder_gan", "default"),   # shipped (bf16)
+        (bench_conan, "conan_gan", "highest"),       # shipped
+        (bench_emformer, "emformer_distill", "highest"),
+        (bench_vocoder, "vocoder_gan", "highest"),
+        (bench_conan, "conan_gan", "default"),
     ]
-    for fn, prec in plan:
+    results = []
+    if args.only:
+        want = {tuple(x.split(":")) for x in args.only.split(",")}
+        plan = [(f, t, p) for f, t, p in plan if (t, p) in want]
+        if os.path.exists("BENCH_TRAIN.json"):
+            old = json.load(open("BENCH_TRAIN.json"))["results"]
+            results = [r for r in old
+                       if (r["task"], r["precision"]) not in want]
+    for fn, _task, prec in plan:
         t0 = time.time()
         r = fn(prec)
         r["backend"] = jax.default_backend()

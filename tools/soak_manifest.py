@@ -45,7 +45,7 @@ def summarize(exp: pathlib.Path) -> list[str]:
              str(exp / "manifest.json")]
     for sub in ("valid_plots", "valid_wavs", "valid_codes"):
         if (exp / sub).is_dir():
-            small += [str(q) for q in sorted((exp / sub).iterdir())][:12]
+            small += [str(q) for q in sorted((exp / sub).iterdir())][:24]
     return small
 
 
