@@ -207,6 +207,7 @@ def main(argv=None):
         (bench_emformer, "emformer_distill", "highest"),
         (bench_vocoder, "vocoder_gan", "highest"),
         (bench_conan, "conan_gan", "default"),
+        (bench_emformer, "emformer_distill", "default"),
     ]
     results = []
     if args.only:

@@ -70,7 +70,7 @@ def pallas_logmel(wav, *, n_fft: int, hop: int, win_length: int, n_mels: int,
     # framing as an XLA gather: [B, f_pad, n_fft]
     idx = np.arange(f_pad)[:, None] * hop + np.arange(n_fft)[None, :]
     frames = wav[:, idx]
-    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length)[:, 0, :])  # [n_fft, 2nb]
+    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length))  # [n_fft, 2nb]
     melw = jnp.asarray(mel_filterbank_np(sample_rate, n_fft, n_mels,
                                          float(fmin), float(fmax))).T  # [bins, mels]
     n_bins = n_fft // 2 + 1
@@ -123,7 +123,7 @@ def _logmel_bwd(static, wav, g):
     n_frames = (T - n_fft) // hop + 1
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     frames = wav[:, idx]                                         # [B, F, n_fft]
-    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length)[:, 0, :])
+    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length))
     melw = jnp.asarray(mel_filterbank_np(sample_rate, n_fft, n_mels,
                                          float(fmin), float(fmax))).T
     n_bins = n_fft // 2 + 1

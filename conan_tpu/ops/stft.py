@@ -26,7 +26,7 @@ Array = jax.Array
 
 @functools.lru_cache(maxsize=None)
 def _dft_kernel_np(n_fft: int, win_length: int) -> np.ndarray:
-    """[win_length, 1, 2*n_bins] windowed DFT basis (host-side, cached).
+    """[n_fft, 2*n_bins] windowed DFT basis (host-side, cached).
 
     X_k = sum_t w[t] x[t] exp(-2πi k t / n_fft): real rows then imag rows.
     Window is periodic Hann (torch.hann_window / scipy sym=False), zero-padded
@@ -41,7 +41,7 @@ def _dft_kernel_np(n_fft: int, win_length: int) -> np.ndarray:
     k = np.arange(n_bins)[None, :]
     angle = 2.0 * np.pi * t * k / n_fft
     basis = np.concatenate([np.cos(angle), -np.sin(angle)], axis=1)  # [n_fft, 2*n_bins]
-    return (w_full[:, None] * basis).astype(np.float32)[:, None, :]  # [n_fft,1,2nb]
+    return (w_full[:, None] * basis).astype(np.float32)  # [n_fft, 2nb]
 
 
 def frame_count(n_samples: int, n_fft: int, hop: int, center: bool) -> int:
@@ -59,18 +59,72 @@ def stft_realimag(
     center: bool = True,
     pad_mode: str = "constant",
 ) -> Array:
-    """STFT of ``wav`` [B, T] → [B, frames, 2*n_bins] (re ∥ im)."""
+    """STFT of ``wav`` [B, T] → [B, frames, 2*n_bins] (re ∥ im).
+
+    Framing is a gather against a static [frames, n_fft] index matrix followed
+    by ONE [.., n_fft] @ [n_fft, 2·n_bins] matmul — the MXU-native shape.  (A
+    strided-conv formulation with C_in=1 and a 2048-wide window lowers
+    pathologically on TPU: the sc/mag loss pair cost 22 ms/step that way vs
+    ~1 ms as a matmul; see tools/DECOMPOSE.json.)  The backward is a custom
+    VJP: overlap-add by hop-phase decomposition — ⌈n_fft/hop⌉ padded adds —
+    instead of the autodiff scatter-add, which is slow on TPU and slow enough
+    on the CPU mesh to trip XLA's hardcoded 40 s collective-rendezvous abort
+    on a loaded 4-core host.  Honors the matmul precision policy."""
     win_length = win_length or n_fft
-    kern = jnp.asarray(_dft_kernel_np(n_fft, win_length))
     if center:
         p = n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (p, p)), mode=pad_mode)
-    x = wav[:, :, None]  # [B, T, 1]
-    return lax.conv_general_dilated(
-        x, kern, window_strides=(hop,), padding=[(0, 0)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
-    )
+    return _framed_dft(wav, n_fft, hop, win_length)
+
+
+def _overlap_add(dframes: Array, hop: int, t_out: int) -> Array:
+    """Transpose of gather-framing: [B, F, W] frame grads → [B, t_out].
+
+    Segment j·hop:(j+1)·hop of successive frames tiles the output contiguously
+    (offset by j·hop), so overlap-add is ⌈W/hop⌉ pad-and-adds — no scatter."""
+    B, F, W = dframes.shape
+    q = -(-W // hop)
+    dframes = jnp.pad(dframes, ((0, 0), (0, 0), (0, q * hop - W)))
+    out = jnp.zeros((B, t_out), dframes.dtype)
+    span = F * hop
+    for j in range(q):
+        seg = dframes[:, :, j * hop:(j + 1) * hop].reshape(B, span)
+        start, stop = j * hop, j * hop + span
+        if start >= t_out:
+            continue
+        if stop > t_out:  # last frames' tails fall off the (unpadded) end
+            seg = seg[:, :t_out - start]
+            stop = t_out
+        out = out + jnp.pad(seg, ((0, 0), (start, t_out - stop)))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _framed_dft(wav: Array, n_fft: int, hop: int, win_length: int) -> Array:
+    from conan_tpu.ops.precision import get_precision
+
+    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length))  # [n_fft, 2nb]
+    n_frames = (wav.shape[1] - n_fft) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = wav[:, idx]  # [B, frames, n_fft]
+    return jnp.matmul(frames, basis, precision=get_precision(),
+                      preferred_element_type=jnp.float32)
+
+
+def _framed_dft_fwd(wav, n_fft, hop, win_length):
+    return _framed_dft(wav, n_fft, hop, win_length), wav.shape[1]
+
+
+def _framed_dft_bwd(n_fft, hop, win_length, t_in, g):
+    from conan_tpu.ops.precision import get_precision
+
+    basis = jnp.asarray(_dft_kernel_np(n_fft, win_length))
+    dframes = jnp.matmul(g, basis.T, precision=get_precision(),
+                         preferred_element_type=jnp.float32)
+    return (_overlap_add(dframes, hop, t_in),)
+
+
+_framed_dft.defvjp(_framed_dft_fwd, _framed_dft_bwd)
 
 
 def stft_magnitude(

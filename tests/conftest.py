@@ -8,17 +8,44 @@ fakes).
 """
 
 import os
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# The sitecustomize registers the axon TPU PJRT client in every python
+# process (it runs at interpreter start).  Even with jax_platforms=cpu the
+# live tunnel client can SIGABRT the process mid-suite when other processes
+# load the tunnel (observed twice in test_train_steps readbacks).  Re-exec
+# the interpreter without the trigger env var so sitecustomize skips
+# registration entirely and the suite runs on a pure-CPU backend.  The exec
+# happens in pytest_configure (not at import) so global capture can be
+# suspended first — the re-exec'd process must inherit the ORIGINAL stdout,
+# not pytest's capture temp file.
+_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and \
+    not os.environ.get("CONAN_TPU_TESTS_KEEP_AXON")
 
-import jax  # noqa: E402
+if not _REEXEC:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = \
+            flags + " --xla_force_host_platform_device_count=8"
 
-jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    if _REEXEC:
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.suspend_global_capture(in_=True)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS")
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 
 @pytest.fixture
