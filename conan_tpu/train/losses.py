@@ -143,11 +143,19 @@ def multi_res_gan_mel_loss(y: Array, y_hat: Array, sample_rate: int = 16000,
                            lambda_mel: float = 5.0) -> Array:
     """320-bin multi-resolution mel L1 (hifigan_causal.py mel_loss:533-545).
 
-    On TPU the transform runs the fused Pallas forward with an analytic
-    custom VJP (ops.pallas_stft.logmel_diff); elsewhere the XLA path."""
+    On TPU the transform can run the fused Pallas forward with an analytic
+    custom VJP (ops.pallas_stft.logmel_diff) — opt in with
+    CONAN_TPU_PALLAS_MEL=1.  Default is the XLA framed-matmul path: since
+    stft_realimag became a gather+matmul with an overlap-add VJP it times the
+    same as the Pallas kernel inside the GAN step, and the fused kernel's
+    [n_fft, 2·bins] basis at n_fft=2048 sits at the 16 MB scoped-VMEM edge —
+    ablation programs around it OOM'd at compile (tools/DECOMPOSE.json notes)."""
+    import os as _os
+
     import jax as _jax
 
-    use_pallas = _jax.default_backend() == "tpu"
+    use_pallas = (_jax.default_backend() == "tpu"
+                  and _os.environ.get("CONAN_TPU_PALLAS_MEL") == "1")
     if use_pallas:
         from conan_tpu.ops.pallas_stft import pallas_wav2mel_gan_diff
     loss = 0.0

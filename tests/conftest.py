@@ -44,6 +44,11 @@ def pytest_configure(config):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS")
         env["JAX_PLATFORMS"] = "cpu"
+        # own cache namespace: axon-registered processes compile CPU AOT
+        # results with different machine-feature flags (+prefer-no-scatter…);
+        # loading those here logs ISA-mismatch errors and risks SIGILL
+        env.setdefault("CONAN_TPU_COMP_CACHE",
+                       os.path.expanduser("~/.cache/jax_comp_cache_cputests"))
         os.execve(sys.executable,
                   [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
