@@ -135,3 +135,43 @@ def test_norm_interp_f0(rng):
     # interpolated region lies between endpoints
     lo, hi = min(fn[9], fn[20]), max(fn[9], fn[20])
     assert np.all(fn[10:20] >= lo - 1e-6) and np.all(fn[10:20] <= hi + 1e-6)
+
+
+def test_stft_custom_vjp_matches_autodiff(rng):
+    """The overlap-add backward of the framed DFT (ops/stft.py:_framed_dft)
+    must equal plain-autodiff gather/scatter gradients for every hop/n_fft
+    relation (hop | n_fft and not), both pad modes."""
+    import jax
+
+    from conan_tpu.ops.stft import _dft_kernel_np, stft_realimag
+
+    wav = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+    for n_fft, hop, win, center, mode in [
+        (512, 160, 400, True, "reflect"),
+        (256, 64, 256, True, "constant"),
+        (128, 128, 128, False, "constant"),  # hop == n_fft (no overlap)
+        (300, 90, 300, True, "constant"),    # non-divisible odd sizes
+    ]:
+        ct_shape = stft_realimag(wav, n_fft=n_fft, hop=hop, win_length=win,
+                                 center=center, pad_mode=mode).shape
+        ct = jnp.asarray(rng.standard_normal(ct_shape).astype(np.float32))
+
+        def f(w):
+            return jnp.sum(stft_realimag(w, n_fft=n_fft, hop=hop,
+                                         win_length=win, center=center,
+                                         pad_mode=mode) * ct)
+
+        def f_ref(w):
+            basis = jnp.asarray(_dft_kernel_np(n_fft, win))
+            if center:
+                w = jnp.pad(w, ((0, 0), (n_fft // 2, n_fft // 2)), mode=mode)
+            nf = (w.shape[1] - n_fft) // hop + 1
+            idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
+            return jnp.sum(jnp.matmul(w[:, idx], basis) * ct)
+
+        g = jax.grad(f)(wav)
+        g_ref = jax.grad(f_ref)(wav)
+        scale = float(jnp.abs(g_ref).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=2e-5 * scale, rtol=0,
+                                   err_msg=f"{n_fft}/{hop}/{center}/{mode}")
