@@ -41,24 +41,38 @@ def mel_mse(pred: Array, target: Array) -> Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _ssim_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _ssim_gauss1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    w2 = np.outer(g, g)
-    return w2.astype(np.float32)[..., None, None]  # [K,K,1,1] HWIO
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur1d(x: Array, g: np.ndarray, axis: int) -> Array:
+    """Zero-padded 'same' 1-D correlation along ``axis`` as K shifted adds.
+
+    The gaussian is separable (outer(g, g)), so the 2-D SSIM window is two of
+    these.  A single-channel 11×11 `lax.conv` lowers pathologically on TPU
+    (C_in=1 + spatial window — the same landmine as the old conv-DFT STFT);
+    static shifted slices + adds are exact and fuse to elementwise code."""
+    k = len(g)
+    pad = k // 2
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (pad, pad)
+    xp = jnp.pad(x, widths)
+    out = None
+    for i in range(k):
+        sl = lax.slice_in_dim(xp, i, i + x.shape[axis], axis=axis)
+        term = sl * float(g[i])
+        out = term if out is None else out + term
+    return out
 
 
 def ssim(img1: Array, img2: Array, window_size: int = 11) -> Array:
     """SSIM map mean over (C,H,W) per batch element; img [B,1,H,W]
     (utils/metrics/ssim.py:24-45, size_average=False)."""
-    w = jnp.asarray(_ssim_window(window_size))
-    pad = window_size // 2
+    g = _ssim_gauss1d(window_size)
 
     def f(x):
-        return lax.conv_general_dilated(
-            x.transpose(0, 2, 3, 1), w, (1, 1), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=lax.Precision.HIGHEST).transpose(0, 3, 1, 2)
+        return _blur1d(_blur1d(x, g, 2), g, 3)
 
     mu1, mu2 = f(img1), f(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

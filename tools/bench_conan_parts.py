@@ -113,6 +113,55 @@ def main():
             model.decoder.apply(p["decoder"], x_t))) * 1e-6,
         params)
 
+    # ---- task-level G losses: exact, no-ssim, and traced-step variants ----
+    from conan_tpu.train.tasks import ConanTask
+
+    def task_runs(label, hp_over, static_step):
+        hp2 = dict(hp)
+        hp2.update(hp_over)
+        with precision_scope("default"):
+            task = ConanTask(hp2)
+            tstate = task.init_state(jax.random.PRNGKey(0))
+        batch = {"content": content, "mels":
+                 jnp.asarray((rng.standard_normal((B, T, 80)) * 0.5
+                              ).astype(np.float32)),
+                 "ref_mels": ref, "f0": f0, "uv": uv}
+
+        def step_fn(state, batch_, rng_):
+            # step comes from the loop-carried state → genuinely traced
+            # (a closed-over jnp scalar would embed as a foldable constant)
+            sv = 50000 if static_step else state["gstep"]
+
+            def loss_fn(g):
+                total, _aux = task._gen_losses(g, state["d"], state["vq"],
+                                               batch, sv, rng_, None, False)
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["g"])
+            g = jax.tree.map(lambda a, d: a - 1e-9 * d, state["g"], grads)
+            return dict(state, g=g, gstep=state["gstep"] + 1,
+                        step=state["step"] + 1), {"loss": loss}
+
+        with precision_scope("default"):
+            st0 = {"g": tstate["params_g"], "d": tstate["params_d"],
+                   "vq": tstate["vq_state"],
+                   "gstep": jnp.asarray(50000, jnp.int32),
+                   "step": jnp.zeros((), jnp.int32)}
+            try:
+                ms, flops = _time_steps(step_fn, st0, {}, jax.random.PRNGKey(2))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"part": label, "error": repr(e)[:200]}),
+                      flush=True)
+                return
+        r = dict(part=label, ms=round(ms, 2), flops=flops,
+                 tflops=round(flops / ms / 1e9, 1) if flops and ms > 0 else None)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    task_runs("gen_losses_full", {}, False)
+    task_runs("gen_losses_no_ssim", {"mel_losses": "l1:0.5"}, False)
+    task_runs("gen_losses_static_step", {}, True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CONAN_PARTS.json")
     json.dump(results, open(path, "w"), indent=1)
