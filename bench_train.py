@@ -154,6 +154,43 @@ def bench_conan(precision: str):
                 if flops else None)
 
 
+def bench_postnet(precision: str):
+    import jax
+    import jax.numpy as jnp
+
+    from conan_tpu.config import load_config
+    from conan_tpu.models.conan.model import Conan, ConanConfig
+    from conan_tpu.ops.precision import precision_scope
+    from conan_tpu.train.tasks import PostnetTask
+
+    hp = load_config("egs/conan_postnet.yaml")
+    B, T, Tr = 24, 1500, 600
+    rng = np.random.default_rng(0)
+    batch = {
+        "content": jnp.asarray(rng.integers(0, 100, (B, T))),
+        "mels": jnp.asarray((rng.standard_normal((B, T, 80)) * 0.5).astype(np.float32)),
+        "ref_mels": jnp.asarray((rng.standard_normal((B, Tr, 80)) * 0.5
+                                 ).astype(np.float32)),
+        "f0": jnp.asarray((rng.standard_normal((B, T)) * 0.5 + 7.5).astype(np.float32)),
+        "uv": jnp.asarray((rng.random((B, T)) < 0.25).astype(np.float32)),
+    }
+    with precision_scope(precision):
+        conan = Conan(ConanConfig.from_hparams(hp))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        task = PostnetTask(hp, conan.init(k1), conan.init_vq_state(k2))
+        state = task.init_state(jax.random.PRNGKey(1))
+        ms_step, flops = _time_steps(task.train_step, state, batch,
+                                     jax.random.PRNGKey(2))
+    audio_s = B * T * hp["hop_size"] / hp["audio_sample_rate"]
+    return dict(task="postnet_flow", precision=precision, batch=B, frames=T,
+                ms_per_step=round(ms_step, 2), audio_s_per_step=audio_s,
+                audio_s_per_s_per_chip=round(audio_s / (ms_step / 1e3), 1),
+                flops_per_step=flops,
+                tflops_per_s=round(flops / (ms_step / 1e3) / 1e12, 2) if flops else None,
+                mfu_vs_bf16_peak=round(flops / (ms_step / 1e3) / V5E_BF16_PEAK, 4)
+                if flops else None)
+
+
 def bench_emformer(precision: str):
     import jax
     import jax.numpy as jnp
@@ -208,6 +245,8 @@ def main(argv=None):
         (bench_vocoder, "vocoder_gan", "highest"),
         (bench_conan, "conan_gan", "default"),
         (bench_emformer, "emformer_distill", "default"),
+        (bench_postnet, "postnet_flow", "default"),
+        (bench_postnet, "postnet_flow", "highest"),
     ]
     results = []
     if args.only:

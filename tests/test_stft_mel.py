@@ -175,3 +175,38 @@ def test_stft_custom_vjp_matches_autodiff(rng):
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=2e-5 * scale, rtol=0,
                                    err_msg=f"{n_fft}/{hop}/{center}/{mode}")
+
+
+def test_ssim_matches_torch_conv_oracle(rng):
+    """The separable shifted-add SSIM blur (train/losses.py:_blur1d) must
+    match the reference's 2-D-conv formulation (utils/metrics/ssim.py:24-45)
+    executed in torch, values and gradients."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from conan_tpu.train.losses import _ssim_gauss1d, ssim
+
+    a = rng.standard_normal((3, 1, 120, 80)).astype(np.float32) + 6
+    b = rng.standard_normal((3, 1, 120, 80)).astype(np.float32) + 6
+
+    def torch_ssim(x, y, ws=11):
+        g = torch.from_numpy(_ssim_gauss1d(ws))
+        w = torch.outer(g, g)[None, None]
+        f = lambda t: F.conv2d(t, w, padding=ws // 2)  # noqa: E731
+        mu1, mu2 = f(x), f(y)
+        m1s, m2s, m12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1, s2 = f(x * x) - m1s, f(y * y) - m2s
+        s12 = f(x * y) - m12
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * m12 + C1) * (2 * s12 + C2)) / ((m1s + m2s + C1) * (s1 + s2 + C2))
+        return m.mean(dim=(1, 2, 3))
+
+    xt = torch.from_numpy(a.copy()).requires_grad_(True)
+    vt = torch_ssim(xt, torch.from_numpy(b.copy()))
+    vt.sum().backward()
+
+    va = ssim(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(va), vt.detach().numpy(), atol=2e-6)
+    ga = jax.grad(lambda x: ssim(x, jnp.asarray(b)).sum())(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(ga), xt.grad.numpy(), atol=1e-7)
