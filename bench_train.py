@@ -163,7 +163,10 @@ def bench_postnet(precision: str):
     from conan_tpu.ops.precision import precision_scope
     from conan_tpu.train.tasks import PostnetTask
 
-    hp = load_config("egs/conan_postnet.yaml")
+    hp = dict(load_config("egs/conan_postnet.yaml"))
+    if not hp.get("spec_min"):
+        # normally produced by the spec-stats CLI over the binarized corpus
+        hp["spec_min"], hp["spec_max"] = [-6.0] * 80, [1.5] * 80
     B, T, Tr = 24, 1500, 600
     rng = np.random.default_rng(0)
     batch = {
