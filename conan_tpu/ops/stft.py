@@ -112,16 +112,22 @@ def _framed_dft(wav: Array, n_fft: int, hop: int, win_length: int) -> Array:
 
 
 def _framed_dft_fwd(wav, n_fft, hop, win_length):
-    return _framed_dft(wav, n_fft, hop, win_length), wav.shape[1]
+    # zero-size residual carries wav's dtype (dtype objects aren't JAX types)
+    return (_framed_dft(wav, n_fft, hop, win_length),
+            (wav.shape[1], jnp.zeros((0,), wav.dtype)))
 
 
-def _framed_dft_bwd(n_fft, hop, win_length, t_in, g):
+def _framed_dft_bwd(n_fft, hop, win_length, res, g):
     from conan_tpu.ops.precision import get_precision
 
+    t_in, dtype_token = res
+    wav_dtype = dtype_token.dtype
     basis = jnp.asarray(_dft_kernel_np(n_fft, win_length))
     dframes = jnp.matmul(g, basis.T, precision=get_precision(),
                          preferred_element_type=jnp.float32)
-    return (_overlap_add(dframes, hop, t_in),)
+    # overlap-add accumulates in f32; the cotangent must match wav's dtype
+    # (custom_vjp checks it at trace time even where autodiff would cast).
+    return (_overlap_add(dframes, hop, t_in).astype(wav_dtype),)
 
 
 _framed_dft.defvjp(_framed_dft_fwd, _framed_dft_bwd)

@@ -12,6 +12,7 @@ JAX equivalents of the reference's loss zoo, numerics-matched:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -21,6 +22,10 @@ from jax import lax
 from conan_tpu.audio.mel import MelConfig, wav2mel_gan
 
 Array = jax.Array
+
+# Pinned at import: jit caches are not keyed on env vars, so a mid-process
+# flip could silently keep the old traced path (ADVICE r2).
+_USE_PALLAS_MEL = os.environ.get("CONAN_TPU_PALLAS_MEL") == "1"
 
 
 def weights_nonzero_speech(target: Array) -> Array:
@@ -159,17 +164,16 @@ def multi_res_gan_mel_loss(y: Array, y_hat: Array, sample_rate: int = 16000,
 
     On TPU the transform can run the fused Pallas forward with an analytic
     custom VJP (ops.pallas_stft.logmel_diff) — opt in with
-    CONAN_TPU_PALLAS_MEL=1.  Default is the XLA framed-matmul path: since
-    stft_realimag became a gather+matmul with an overlap-add VJP it times the
-    same as the Pallas kernel inside the GAN step, and the fused kernel's
-    [n_fft, 2·bins] basis at n_fft=2048 sits at the 16 MB scoped-VMEM edge —
-    ablation programs around it OOM'd at compile (tools/DECOMPOSE.json notes)."""
-    import os as _os
-
+    CONAN_TPU_PALLAS_MEL=1 (read ONCE at import into _USE_PALLAS_MEL; flipping
+    it mid-process would not retrace already-jitted steps, so it is pinned).
+    Default is the XLA framed-matmul path: since stft_realimag became a
+    gather+matmul with an overlap-add VJP it times the same as the Pallas
+    kernel inside the GAN step, and the fused kernel's [n_fft, 2·bins] basis
+    at n_fft=2048 sits at the 16 MB scoped-VMEM edge — ablation programs
+    around it OOM'd at compile (tools/DECOMPOSE.json notes)."""
     import jax as _jax
 
-    use_pallas = (_jax.default_backend() == "tpu"
-                  and _os.environ.get("CONAN_TPU_PALLAS_MEL") == "1")
+    use_pallas = _USE_PALLAS_MEL and _jax.default_backend() == "tpu"
     if use_pallas:
         from conan_tpu.ops.pallas_stft import pallas_wav2mel_gan_diff
     loss = 0.0

@@ -19,8 +19,15 @@ import sys
 # happens in pytest_configure (not at import) so global capture can be
 # suspended first — the re-exec'd process must inherit the ORIGINAL stdout,
 # not pytest's capture temp file.
+#
+# Escape hatch: CONAN_TPU_TESTS_KEEP_AXON=1 skips the re-exec entirely (for
+# non-CLI invocations that can't tolerate it).  The child is marked with
+# CONAN_TPU_TESTS_REEXECED so it never re-execs again, and xdist workers
+# (PYTEST_XDIST_WORKER) never re-exec — only their controller may.
 _REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and \
-    not os.environ.get("CONAN_TPU_TESTS_KEEP_AXON")
+    not os.environ.get("CONAN_TPU_TESTS_KEEP_AXON") and \
+    not os.environ.get("CONAN_TPU_TESTS_REEXECED") and \
+    not os.environ.get("PYTEST_XDIST_WORKER")
 
 if not _REEXEC:
     flags = os.environ.get("XLA_FLAGS", "")
@@ -44,13 +51,18 @@ def pytest_configure(config):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS")
         env["JAX_PLATFORMS"] = "cpu"
+        env["CONAN_TPU_TESTS_REEXECED"] = "1"
         # own cache namespace: axon-registered processes compile CPU AOT
         # results with different machine-feature flags (+prefer-no-scatter…);
         # loading those here logs ISA-mismatch errors and risks SIGILL
         env.setdefault("CONAN_TPU_COMP_CACHE",
                        os.path.expanduser("~/.cache/jax_comp_cache_cputests"))
+        # invocation_params.args is the canonical argument tuple pytest was
+        # invoked with — correct for both CLI runs and pytest.main([...]),
+        # unlike sys.argv (which a programmatic caller never set for us).
+        args = list(config.invocation_params.args)
         os.execve(sys.executable,
-                  [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+                  [sys.executable, "-m", "pytest", *args], env)
 
 
 @pytest.fixture

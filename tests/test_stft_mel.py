@@ -177,6 +177,26 @@ def test_stft_custom_vjp_matches_autodiff(rng):
                                    err_msg=f"{n_fft}/{hop}/{center}/{mode}")
 
 
+def test_stft_custom_vjp_bf16_wav(rng):
+    """custom_vjp must return a cotangent matching wav.dtype — a bf16 wav
+    traced through jax.grad used to fail at trace time (ADVICE r2)."""
+    import jax
+
+    from conan_tpu.ops.stft import stft_realimag
+
+    wav = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32))
+    wav16 = wav.astype(jnp.bfloat16)
+
+    def f(w):
+        return jnp.sum(stft_realimag(w, n_fft=256, hop=64, win_length=256))
+
+    g = jax.grad(f)(wav16)
+    assert g.dtype == jnp.bfloat16
+    g32 = jax.grad(f)(wav)
+    np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(g32),
+                               atol=0.05, rtol=0)
+
+
 def test_ssim_matches_torch_conv_oracle(rng):
     """The separable shifted-add SSIM blur (train/losses.py:_blur1d) must
     match the reference's 2-D-conv formulation (utils/metrics/ssim.py:24-45)
