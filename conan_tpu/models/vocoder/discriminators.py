@@ -37,36 +37,84 @@ def _wn_conv_init(key, out_ch, in_ch, *k):
     return p
 
 
+def _cond_net_init(key, t: int):
+    """ConvTranspose1d(80, 1, 2t, stride=t, padding=t//2), torch default init
+    (weight [in=80, out=1, 2t]; no weight norm in the reference,
+    hifigan_causal.py:353-355,426-428)."""
+    kw, kb = jax.random.split(key)
+    shape = (80, 1, 2 * t)
+    return {"w": inits.kaiming_uniform(kw, shape),
+            "b": inits.default_bias(kb, (1,), shape)}
+
+
+def _cond_net_apply(p: Params, mel: Array, t: int) -> Array:
+    """mel [B, T_mel, 80] -> [B, T_mel*t, 1] upsampled conditioning channel.
+
+    Torch semantics: ConvTranspose1d(stride=t, kernel=2t, padding=t//2).
+    Because kernel == 2*stride, each output sample receives exactly two
+    contributions; the transposed conv decomposes into two framed matmuls +
+    a one-frame overlap-add.  (The naive lhs-dilated conv lowering with
+    dilation 320 / kernel 640 blows up the TPU compiler; the matmul form is
+    also the MXU-native one.)  Derivation: y[n] = x[q]·W[r] + x[q-1]·W[t+r]
+    where q*t + r = n + t//2, r in [0,t).
+    """
+    B, T, C = mel.shape
+    w = p["w"][:, 0, :]  # [80, 2t]
+    a = mel @ w[:, :t]   # [B, T, t]   (i = q term)
+    bb = mel @ w[:, t:]  # [B, T, t]   (i = q-1 term)
+    a_pad = jnp.pad(a, ((0, 0), (0, 1), (0, 0)))
+    b_pad = jnp.pad(bb, ((0, 0), (1, 0), (0, 0)))
+    y = (a_pad + b_pad).reshape(B, (T + 1) * t)[:, t // 2: t // 2 + T * t]
+    return y[..., None] + p["b"]
+
+
 # ---------------------------------------------------------------------------
 # Multi-period discriminator
 # ---------------------------------------------------------------------------
 
 class DiscriminatorP:
     """Period discriminator: reshape wav to [T/p, p] and run 2-D convs
-    (hifigan_causal.py:347-389)."""
+    (hifigan_causal.py:347-389).
 
-    LAYERS = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+    ``use_cond`` (hifigan_causal.py:349-355): a ConvTranspose1d upsamples the
+    conditioning mel to waveform rate and joins as a second input channel.
+    NOTE the reference's own cond path is broken upstream — it imports
+    ``utils.hparams`` which does not exist in its tree (only
+    ``utils/commons/hparams.py`` does); behaviour here follows the evident
+    intent (t = hop_size)."""
 
-    def __init__(self, period: int, kernel_size: int = 5, stride: int = 3):
+    def __init__(self, period: int, kernel_size: int = 5, stride: int = 3,
+                 use_cond: bool = False, hop: int = 320):
         self.period = period
         self.k = kernel_size
         self.s = stride
+        self.use_cond = use_cond
+        self.hop = hop
+        c_in = 2 if use_cond else 1
+        self.layers = [(c_in, 32), (32, 128), (128, 512), (512, 1024),
+                       (1024, 1024)]
 
     def init(self, key) -> Params:
-        keys = iter(jax.random.split(key, len(self.LAYERS) + 1))
-        convs = [_wn_conv_init(next(keys), co, ci, self.k, 1) for ci, co in self.LAYERS]
+        keys = iter(jax.random.split(key, len(self.layers) + 2))
+        convs = [_wn_conv_init(next(keys), co, ci, self.k, 1) for ci, co in self.layers]
         post = _wn_conv_init(next(keys), 1, 1024, 3, 1)
-        return {"convs": convs, "post": post}
+        p = {"convs": convs, "post": post}
+        if self.use_cond:
+            p["cond"] = _cond_net_init(next(keys), self.hop)
+        return p
 
-    def apply(self, params: Params, x: Array):
+    def apply(self, params: Params, x: Array, mel: Array | None = None):
         """x: [B, T, 1] → (logits [B, N], fmaps)."""
+        if self.use_cond:
+            x_mel = _cond_net_apply(params["cond"], mel, self.hop)
+            x = jnp.concatenate([x_mel, x], axis=-1)  # ref cats [x_mel, x]
         B, T, C = x.shape
         p = self.period
         if T % p != 0:
             n_pad = p - (T % p)
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
             T = T + n_pad
-        x = x.reshape(B, T // p, p, C)  # [B, T/p, p, 1] (H=T/p, W=p)
+        x = x.reshape(B, T // p, p, C)  # [B, T/p, p, C] (H=T/p, W=p)
         fmap = []
         for i, c in enumerate(params["convs"]):
             stride = (self.s, 1) if i < 4 else (1, 1)
@@ -84,18 +132,20 @@ class DiscriminatorP:
 class MultiPeriodDiscriminator:
     PERIODS = (2, 3, 5, 7, 11)
 
-    def __init__(self):
-        self.discs = [DiscriminatorP(p) for p in self.PERIODS]
+    def __init__(self, use_cond: bool = False, hop: int = 320):
+        self.discs = [DiscriminatorP(p, use_cond=use_cond, hop=hop)
+                      for p in self.PERIODS]
 
     def init(self, key) -> Params:
         return {"discs": [d.init(k) for d, k in
                           zip(self.discs, jax.random.split(key, len(self.discs)))]}
 
-    def apply(self, params: Params, y: Array, y_hat: Array):
+    def apply(self, params: Params, y: Array, y_hat: Array,
+              mel: Array | None = None):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d, p in zip(self.discs, params["discs"]):
-            r, fr = d.apply(p, y)
-            g, fg = d.apply(p, y_hat)
+            r, fr = d.apply(p, y, mel)
+            g, fg = d.apply(p, y_hat, mel)
             y_d_rs.append(r); fmap_rs.append(fr)
             y_d_gs.append(g); fmap_gs.append(fg)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
@@ -112,14 +162,17 @@ class DiscriminatorS:
     stores raw weights and Lipschitz-constrains them via power iteration at
     apply time (torch nn.utils.spectral_norm equivalent)."""
 
-    # (in, out, k, stride, groups, pad)
-    LAYERS = [(1, 128, 15, 1, 1, 7), (128, 128, 41, 2, 4, 20),
-              (128, 256, 41, 2, 16, 20), (256, 512, 41, 4, 16, 20),
-              (512, 1024, 41, 4, 16, 20), (1024, 1024, 41, 1, 16, 20),
-              (1024, 1024, 5, 1, 1, 2)]
-
-    def __init__(self, use_spectral_norm: bool = False):
+    def __init__(self, use_spectral_norm: bool = False,
+                 use_cond: bool = False, up_t: int = 320):
         self.spectral = use_spectral_norm
+        self.use_cond = use_cond
+        self.up_t = up_t  # prod(upsample_rates) at this scale's wav rate
+        c_in = 2 if use_cond else 1
+        # (in, out, k, stride, groups, pad)
+        self.LAYERS = [(c_in, 128, 15, 1, 1, 7), (128, 128, 41, 2, 4, 20),
+                       (128, 256, 41, 2, 16, 20), (256, 512, 41, 4, 16, 20),
+                       (512, 1024, 41, 4, 16, 20), (1024, 1024, 41, 1, 16, 20),
+                       (1024, 1024, 5, 1, 1, 2)]
 
     def _conv_init(self, key, out_ch, in_ch, k):
         if not self.spectral:
@@ -134,14 +187,20 @@ class DiscriminatorS:
             else ops.weight_norm_weight(c)
 
     def init(self, key) -> Params:
-        keys = iter(jax.random.split(key, len(self.LAYERS) + 1))
+        keys = iter(jax.random.split(key, len(self.LAYERS) + 2))
         convs = [self._conv_init(next(keys), co, ci // g, k)
                  for ci, co, k, s, g, pd in self.LAYERS]
         # note: torch Conv1d weight is [out, in/groups, k]
         post = self._conv_init(next(keys), 1, 1024, 3)
-        return {"convs": convs, "post": post}
+        p = {"convs": convs, "post": post}
+        if self.use_cond:
+            p["cond"] = _cond_net_init(next(keys), self.up_t)
+        return p
 
-    def apply(self, params: Params, x: Array):
+    def apply(self, params: Params, x: Array, mel: Array | None = None):
+        if self.use_cond:
+            x_mel = _cond_net_apply(params["cond"], mel, self.up_t)
+            x = jnp.concatenate([x_mel, x], axis=-1)
         fmap = []
         for (ci, co, k, s, g, pd), c in zip(self.LAYERS, params["convs"]):
             x = ops.conv1d(x, self._weight(c), c["b"], stride=s,
@@ -164,23 +223,29 @@ def _avg_pool1d(x: Array, k: int = 4, s: int = 2, pad: int = 1) -> Array:
 
 
 class MultiScaleDiscriminator:
-    def __init__(self):
-        # first (full-rate) scale is spectral-normed (hifigan_causal.py:460)
-        self.discs = [DiscriminatorS(use_spectral_norm=True),
-                      DiscriminatorS(), DiscriminatorS()]
+    def __init__(self, use_cond: bool = False, hop: int = 320):
+        # first (full-rate) scale is spectral-normed (hifigan_causal.py:460);
+        # the cond upsampler stride per scale is prod(upsample_rates) =
+        # 4*4*(hop >> 4+i) = hop / 2^i, matching the avg-pooled wav rate
+        # (hifigan_causal.py:458-466)
+        self.discs = [
+            DiscriminatorS(use_spectral_norm=True, use_cond=use_cond, up_t=hop),
+            DiscriminatorS(use_cond=use_cond, up_t=hop // 2),
+            DiscriminatorS(use_cond=use_cond, up_t=hop // 4)]
 
     def init(self, key) -> Params:
         return {"discs": [d.init(k) for d, k in
                           zip(self.discs, jax.random.split(key, 3))]}
 
-    def apply(self, params: Params, y: Array, y_hat: Array):
+    def apply(self, params: Params, y: Array, y_hat: Array,
+              mel: Array | None = None):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, (d, p) in enumerate(zip(self.discs, params["discs"])):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
-            r, fr = d.apply(p, y)
-            g, fg = d.apply(p, y_hat)
+            r, fr = d.apply(p, y, mel)
+            g, fg = d.apply(p, y_hat, mel)
             y_d_rs.append(r); fmap_rs.append(fr)
             y_d_gs.append(g); fmap_gs.append(fg)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -47,6 +47,16 @@ def conv1d(
     groups: int = 1,
 ) -> Array:
     """Plain 1-D conv. x: [B,T,Cin], w: [Cout, Cin//groups, K] -> [B,T',Cout]."""
+    if groups > 1 and not isinstance(padding, str):
+        # small-per-group convs starve the MXU under XLA's grouped lowering;
+        # route them through the block-diagonal dense formulation (measured
+        # 1.6-4x faster on the MSD shapes — ops/grouped_conv.py)
+        from conan_tpu.ops.grouped_conv import grouped_conv1d_blocked, use_blocked
+
+        if use_blocked(groups, w.shape[1]):
+            return grouped_conv1d_blocked(x, w, b, stride=stride,
+                                          dilation=dilation,
+                                          padding=tuple(padding), groups=groups)
     if isinstance(padding, str):
         pad = padding
     else:

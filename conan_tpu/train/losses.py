@@ -204,6 +204,12 @@ def generator_loss(fake_outs: list[Array]) -> Array:
     return sum(jnp.mean(jnp.square(1.0 - d)) for d in fake_outs) / len(fake_outs)
 
 
+def cond_discriminator_loss(outs: list[Array]) -> Array:
+    """Mismatched-conditioning negatives: every output is 'fake'
+    (hifigan_causal.py:510-516)."""
+    return sum(jnp.mean(jnp.square(d)) for d in outs) / len(outs)
+
+
 def feature_loss(fmap_r: list, fmap_g: list) -> Array:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):

@@ -65,8 +65,22 @@ class VocoderTask:
             self.gen = NonCausalHifiGanGenerator(cfg)
         else:
             raise ValueError(gen_type)
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        self.use_cond_disc = bool(hp.get("use_cond_disc", False))
+        self.use_spec_disc = bool(hp.get("use_spec_disc", False))
+        hop = hp.get("hop_size", 320)
+        self.mpd = MultiPeriodDiscriminator(use_cond=self.use_cond_disc, hop=hop)
+        self.msd = MultiScaleDiscriminator(use_cond=self.use_cond_disc, hop=hop)
+        if self.use_spec_disc:
+            # reference: Discriminator(time_lengths=[8,16,32], freq=80,
+            # hidden=128) over the loss mels (tasks/vocoder/hifigan.py:75-83).
+            # Its import target (modules.fastspeech.multi_window_disc) is
+            # absent from the reference tree, so this follows the in-tree
+            # iclspeech discriminator semantics with the hifigan window plan.
+            self.specd = MultiWindowDiscriminator(time_lengths=(8, 16, 32),
+                                                  freq_length=80, hidden=128)
+            from conan_tpu.audio.mel import MelConfig
+
+            self.spec_mel_cfg = MelConfig.from_hparams(hp)
         gen_sched = optim.step_lr_schedule(
             hp["generator_optimizer_params"]["lr"],
             hp["generator_scheduler_params"]["step_size"],
@@ -85,30 +99,52 @@ class VocoderTask:
                                  accumulate_steps=acc)
 
     def init_state(self, key) -> dict:
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         pg = self.gen.init(k1)
         pd = {"mpd": self.mpd.init(k2), "msd": self.msd.init(k3)}
+        if self.use_spec_disc:
+            pd["specd"] = self.specd.init(k4)
         return {"params_g": pg, "params_d": pd,
                 "opt_g": self.opt_g.init(pg), "opt_d": self.opt_d.init(pd),
                 "step": jnp.zeros((), jnp.int32)}
 
-    def _gen_losses(self, pg, pd, mel, y):
+    def _spec_mel(self, wav):
+        """80-bin loss mel of a waveform for the spec disc. The reference
+        feeds mel_spectrogram(for_loss=use_different_mel_loss) here
+        (hifigan.py:137-143) — which at 320 loss bins would not even fit its
+        own freq_length=80 discriminator; the 80-bin standard mel is the only
+        self-consistent reading."""
+        from conan_tpu.audio.mel import wav2mel_gan
+
+        return wav2mel_gan(wav, self.spec_mel_cfg)
+
+    def _gen_losses(self, pg, pd, mel, y, rng):
         hp = self.hp
         y_ = self.gen.apply(pg, mel)[..., 0]  # [B, T]
+        cond = mel if self.use_cond_disc else None
         out = {}
         mlp = hp["mel_loss_param"]
         out["mel"] = L.multi_res_gan_mel_loss(
             y, y_, hp["audio_sample_rate"], mlp["mel_bin"],
             tuple(mlp["fft_sizes"]), tuple(mlp["hop_sizes"]),
             tuple(mlp["win_lengths"]), hp.get("lambda_mel", 5.0))
-        _, ypg, fpr, fpg = self.mpd.apply(pd["mpd"], y[..., None], y_[..., None])
-        _, ysg, fsr, fsg = self.msd.apply(pd["msd"], y[..., None], y_[..., None])
+        _, ypg, fpr, fpg = self.mpd.apply(pd["mpd"], y[..., None], y_[..., None],
+                                          cond)
+        _, ysg, fsr, fsg = self.msd.apply(pd["msd"], y[..., None], y_[..., None],
+                                          cond)
         lam_adv = hp.get("lambda_adv", 1.0)
         out["a_p"] = L.generator_loss(ypg) * lam_adv
         out["a_s"] = L.generator_loss(ysg) * lam_adv
         if hp.get("use_fm_loss", False):
             out["fm_f"] = L.feature_loss(fpr, fpg)
             out["fm_s"] = L.feature_loss(fsr, fsg)
+        if self.use_spec_disc:
+            # adversarial mel term (hifigan.py:152-158): specd(y_hat_mel) vs 1
+            v, _, _, fit = self.specd.apply(pd["specd"], self._spec_mel(y_),
+                                            rng, train=True)
+            out["a_mel"] = jnp.where(
+                fit, jnp.mean(jnp.square(v - 1.0)), 0.0) * \
+                hp.get("lambda_mel_adv", 1.0)
         if hp.get("use_ms_stft", False):
             sp = hp["stft_loss_param"]
             out["sc"], out["mag"] = L.multi_res_stft_loss(
@@ -116,21 +152,48 @@ class VocoderTask:
                 tuple(sp["win_lengths"]))
         return sum(out.values()), (out, y_)
 
-    def _disc_losses(self, pd, y, y_):
+    def _disc_losses(self, pd, mel, y, y_, rng):
+        cond = mel if self.use_cond_disc else None
         out = {}
-        ypr, ypg, _, _ = self.mpd.apply(pd["mpd"], y[..., None], y_[..., None])
+        ypr, ypg, _, _ = self.mpd.apply(pd["mpd"], y[..., None], y_[..., None],
+                                        cond)
         out["r_p"], out["f_p"] = L.discriminator_loss(ypr, ypg)
-        ysr, ysg, _, _ = self.msd.apply(pd["msd"], y[..., None], y_[..., None])
+        ysr, ysg, _, _ = self.msd.apply(pd["msd"], y[..., None], y_[..., None],
+                                        cond)
         out["r_s"], out["f_s"] = L.discriminator_loss(ysr, ysg)
+        if self.use_spec_disc:
+            # real-vs-fake on the loss mels (hifigan.py:181-186)
+            r1, r2 = jax.random.split(rng)
+            vr, _, _, fit_r = self.specd.apply(pd["specd"], self._spec_mel(y),
+                                               r1, train=True)
+            vf, _, _, fit_f = self.specd.apply(pd["specd"], self._spec_mel(y_),
+                                               r2, train=True)
+            fit = fit_r & fit_f
+            out["r_mel"] = jnp.where(fit, jnp.mean(jnp.square(vr - 1.0)), 0.0)
+            out["f_mel"] = jnp.where(fit, jnp.mean(jnp.square(vf)), 0.0)
+        if self.use_cond_disc:
+            # rolled-mel negatives: real AND fake wavs under a mismatched mel
+            # are both "fake" (hifigan.py:187-196)
+            mel_shift = jnp.roll(mel, -1, axis=0)
+            yp1, yp2, _, _ = self.mpd.apply(pd["mpd"], y[..., None],
+                                            y_[..., None], mel_shift)
+            out["f_p_cd1"] = L.cond_discriminator_loss(yp1)
+            out["f_p_cd2"] = L.cond_discriminator_loss(yp2)
+            ys1, ys2, _, _ = self.msd.apply(pd["msd"], y[..., None],
+                                            y_[..., None], mel_shift)
+            out["f_s_cd1"] = L.cond_discriminator_loss(ys1)
+            out["f_s_cd2"] = L.cond_discriminator_loss(ys2)
         return sum(out.values()), out
 
     def train_step(self, state: dict, batch: dict, rng) -> tuple[dict, dict]:
         """batch: mels [B,T,80], wavs [B,T*hop]."""
         mel, y = batch["mels"], batch["wavs"]
         step = state["step"]
+        rg, rd = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0))
         # ---- generator
         (gtot, (gl, y_)), grads_g = jax.value_and_grad(
-            self._gen_losses, has_aux=True)(state["params_g"], state["params_d"], mel, y)
+            self._gen_losses, has_aux=True)(state["params_g"], state["params_d"],
+                                            mel, y, rg)
         ok_g = _tree_finite(grads_g)
         upd_g, opt_g_new = self.opt_g.update(grads_g, state["opt_g"], state["params_g"])
         params_g, opt_g = _gated_update(ok_g, state["params_g"], upd_g,
@@ -138,7 +201,7 @@ class VocoderTask:
         # ---- discriminator (on detached y_)
         y_d = jax.lax.stop_gradient(y_)
         (dtot, dl), grads_d = jax.value_and_grad(
-            self._disc_losses, has_aux=True)(state["params_d"], y, y_d)
+            self._disc_losses, has_aux=True)(state["params_d"], mel, y, y_d, rd)
         ok_d = _tree_finite(grads_d)
         upd_d, opt_d_new = self.opt_d.update(grads_d, state["opt_d"], state["params_d"])
         params_d, opt_d = _gated_update(ok_d, state["params_d"], upd_d,

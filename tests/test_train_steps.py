@@ -78,6 +78,34 @@ def test_vocoder_train_step(rng):
     assert int(new_state["step"]) == 1
 
 
+def test_vocoder_train_step_cond_spec_disc(rng):
+    """Optional adversarial variants (reference tasks/vocoder/hifigan.py:
+    65-75,152-158,181-196): conditional MPD/MSD with rolled-mel negatives +
+    the spectrogram discriminator over the loss mels."""
+    hp = dict(VOC_HP, use_cond_disc=True, use_spec_disc=True,
+              fmin=80, fmax=7600, lambda_mel_adv=1.0)
+    task = VocoderTask(hp)
+    state = task.init_state(jax.random.PRNGKey(0))
+    B, T = 8, 40  # T=40 >= the largest spec-disc window (32) -> fit engages
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32)),
+        "wavs": jnp.asarray((rng.standard_normal((B, T * 320)) * 0.1).astype(np.float32)),
+    }
+    mesh = make_mesh(8)
+    step = shard_train_step(task.train_step, mesh)
+    new_state, metrics = step(replicate(state, mesh), shard_batch(batch, mesh),
+                              replicate(jax.random.PRNGKey(1), mesh))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert {"a_mel", "r_mel", "f_mel",
+            "f_p_cd1", "f_p_cd2", "f_s_cd1", "f_s_cd2"} <= set(metrics)
+    assert float(metrics["r_mel"]) != 0.0  # windows fit -> spec disc engaged
+    assert _leaf_delta(new_state["params_d"]["specd"],
+                       state["params_d"]["specd"]) > 0
+    assert _leaf_delta(new_state["params_d"]["mpd"]["discs"][0]["cond"],
+                       state["params_d"]["mpd"]["discs"][0]["cond"]) > 0
+
+
 def test_conan_train_step(rng):
     task = ConanTask(CONAN_HP)
     state = task.init_state(jax.random.PRNGKey(0))

@@ -47,6 +47,26 @@ def impl_conv(x, w, stride, groups, pad):
                       groups=groups)
 
 
+def impl_blocked(x, w, stride, groups, pad):
+    from conan_tpu.ops.grouped_conv import grouped_conv1d_blocked
+
+    return grouped_conv1d_blocked(x, w, None, stride=stride,
+                                  padding=(pad, pad), groups=groups)
+
+
+def impl_pallas(x, w, stride, groups, pad):
+    import jax.numpy as jnp
+
+    from conan_tpu.ops.pallas_groupconv import pallas_grouped_conv1d
+    from conan_tpu.ops.precision import get_precision
+
+    # Pallas matmuls run at input dtype; mirror the bf16 'default' policy
+    if str(get_precision()).lower().find("highest") < 0:
+        x, w = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    return pallas_grouped_conv1d(x, w, None, stride=stride,
+                                 padding=(pad, pad), groups=groups)
+
+
 def _patches(x, k, stride, pad):
     """[B,T,C] -> [B,T',k,C] gather framing (static indices)."""
     import jax.numpy as jnp
@@ -136,6 +156,7 @@ def main():
     from conan_tpu.ops.precision import precision_scope
 
     mode = (sys.argv[1:] or ["grad"])[0]
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     results = []
     for name, cin, cout, k, s, gcount, t_in in LAYERS:
         rng = np.random.default_rng(0)
@@ -143,8 +164,11 @@ def main():
         w0 = jnp.asarray((rng.standard_normal((cout, cin // gcount, k))
                           * 0.05).astype(np.float32))
         pad = (k - 1) // 2
-        for iname, fn in [("conv", impl_conv), ("einsum", _einsum_fwd),
-                          ("einsum_oa", _einsum_oa)]:
+        for iname, fn in [("conv", impl_conv), ("blocked", impl_blocked),
+                          ("pallas", impl_pallas),
+                          ("einsum", _einsum_fwd), ("einsum_oa", _einsum_oa)]:
+            if only and iname != only:
+                continue
             def step(state, batch, rng_, fn=fn):
                 xx, ww = state["x"], state["w"]
                 if mode == "fwd":
@@ -176,7 +200,7 @@ def main():
             print(json.dumps(r), flush=True)
             results.append(r)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "GROUPCONV.json")
+                        f"GROUPCONV_{only}.json" if only else "GROUPCONV.json")
     json.dump(results, open(path, "w"), indent=1)
     print(f"# wrote {path}", file=sys.stderr)
 
