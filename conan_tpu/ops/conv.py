@@ -50,7 +50,11 @@ def conv1d(
     if groups > 1 and not isinstance(padding, str):
         # small-per-group convs starve the MXU under XLA's grouped lowering;
         # route them through the block-diagonal dense formulation (measured
-        # 1.6-4x faster on the MSD shapes — ops/grouped_conv.py)
+        # 1.6-4x faster on the MSD shapes — ops/grouped_conv.py).  An
+        # equivalent fused Pallas kernel (ops/pallas_groupconv.py) wins
+        # 1.4-3x on isolated L3/L4/L6 forwards but TIES at train-step level
+        # (83.7 vs 83.3 ms — both schedules are MXU-bound and XLA already
+        # fuses/overlaps the rest), so the XLA form stays the default.
         from conan_tpu.ops.grouped_conv import grouped_conv1d_blocked, use_blocked
 
         if use_blocked(groups, w.shape[1]):

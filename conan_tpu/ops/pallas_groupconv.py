@@ -73,12 +73,17 @@ def _pallas_grouped_conv1d_fwd(x: Array, w: Array, *, stride: int,
     T_out_pad = _ceil_to(T_out, t_tile)
     halo = (K - 1) // s  # rows a tap can reach past the tile, per phase
     t_poly = T_out_pad + halo + 1
-    x_pad = jnp.pad(x, ((0, 0), (padding[0], s * t_poly - T - padding[0]),
-                        (0, 0)))
+    compute_dtype = x.dtype
+    # x is stored f32 in VMEM: Mosaic rejects row-offset slices of PACKED
+    # bf16 tiles (off >= 1 on the sublane dim); slices are cast back to the
+    # compute dtype right before the dot, so the MXU still runs bf16.
+    x_pad = jnp.pad(x.astype(jnp.float32),
+                    ((0, 0), (padding[0], s * t_poly - T - padding[0]),
+                     (0, 0)))
     # polyphase: [B, t', s, C] -> [B, s, t', C]
     x_poly = x_pad.reshape(B, t_poly, s, Ci).transpose(0, 2, 1, 3)
     wblk = block_diag_weight(w, groups, nb)  # [n_ct, co_t, cib, K]
-    wblk = wblk.transpose(0, 3, 2, 1).astype(x.dtype)  # [n_ct, K, cib, co_t]
+    wblk = wblk.transpose(0, 3, 2, 1).astype(compute_dtype)
 
     n_tt = T_out_pad // t_tile
 
@@ -89,7 +94,7 @@ def _pallas_grouped_conv1d_fwd(x: Array, w: Array, *, stride: int,
         for j in range(K):
             r, off = j % s, j // s
             xs = xp_ref[0, r, pl.ds(base + off, t_tile), :]
-            acc = acc + jnp.dot(xs, w_ref[0, j],
+            acc = acc + jnp.dot(xs.astype(compute_dtype), w_ref[0, j],
                                 preferred_element_type=jnp.float32)
         o_ref[0] = acc
 
@@ -122,6 +127,9 @@ def pallas_grouped_conv1d(x: Array, w: Array, b: Array | None = None, *,
 
     ``interpret`` defaults to True off-TPU (Pallas CPU = interpreter only).
     """
+    if groups <= 1:
+        raise ValueError("pallas_grouped_conv1d is for grouped convs; "
+                         "use ops.conv1d for dense ones")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     y = _pallas_fwd_vjp(x, w, stride, tuple(padding), groups, interpret)

@@ -174,6 +174,10 @@ def main():
                 if mode == "fwd":
                     y = fn(xx, ww, s, gcount, pad)
                     loss = jnp.sum(y * y)
+                    # thread the loss into the carried state so the chained
+                    # fori_loop cannot DCE the forward (a dead per-step
+                    # metric WAS eliminated — early fwd numbers were noise)
+                    xx = xx * (loss * 1e-30 + 1.0)
                     dx, dw = xx, ww * 0.999  # keep state evolving
                 else:
                     def loss_fn(xx, ww):
