@@ -191,7 +191,10 @@ def analytic_ici_projection():
     if os.path.exists("BENCH_TRAIN.json"):
         with open("BENCH_TRAIN.json") as f:
             for r in json.load(f)["results"]:
-                bench.setdefault(r["task"], r)  # first entry = shipped precision
+                # shipped precision is bf16 ('default') for all four configs
+                # (CLAUDE.md precision policy); prefer it, fall back to any
+                if r["precision"] == "default" or r["task"] not in bench:
+                    bench[r["task"]] = r
     for name, cls, cfg_path, param_keys in specs:
         hp = load_config(cfg_path)
         task = cls(hp)

@@ -51,3 +51,56 @@ def test_compose_and_run_vc(tmp_path, rng):
     sr, wav = wavfile.read(pairs[0]["output"])
     assert sr == 16000 and len(wav) > 16000 // 2
     assert np.abs(wav).max() > 0
+
+
+def test_run_test_infer_with_guard(tmp_path, rng):
+    """--infer over the binarized test split through the composed engine:
+    writes wavs + infer_manifest.json with per-item stream-vs-offline guard
+    results (reference ConanTask.test_step, tasks/Conan/Conan.py:214-284)."""
+    import jax
+
+    from tests.test_data_pipeline import _write_synth_corpus as _corpus2
+    from conan_tpu.data.binarizer import ConanBinarizer
+
+    speakers = _corpus2(tmp_path, rng, n_items=4, n_speakers=2)
+    base = {
+        "processed_data_dir": str(tmp_path / "processed"),
+        "binary_data_dir": str(tmp_path / "binary"),
+        "audio_sample_rate": 16000, "hop_size": 320, "fft_size": 1024,
+        "win_size": 1024, "audio_num_mel_bins": 80, "fmin": 80, "fmax": 7600,
+        "valid_prefixes": [speakers[0]], "test_prefixes": [speakers[0]],
+        "max_frames": 3000, "max_samples": 2560,
+    }
+    ConanBinarizer(HParams(base)).process()
+
+    emf_hp = dict(EMF_HP, emformer_input_dim=80, emformer_layers=1)
+    voc_hp = dict(VOC_HP)
+    conan_hp = dict(CONAN_HP, **base)
+    dirs = {}
+    for name, task_cls, hp in (("emformer", EmformerTask, emf_hp),
+                               ("vocoder", VocoderTask, voc_hp),
+                               ("conan", ConanTask, conan_hp)):
+        task = task_cls(HParams(hp))
+        state = task.init_state(jax.random.PRNGKey(0))
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        save_checkpoint(d, 1, jax.device_get(state), hp)
+        yaml.safe_dump(hp, open(f"{d}/config.yaml", "w"))
+        dirs[name] = d
+
+    from conan_tpu.train.run import run_test
+
+    hp = HParams(dict(conan_hp, work_dir=dirs["conan"],
+                      emformer_ckpt=dirs["emformer"],
+                      vocoder_ckpt=dirs["vocoder"],
+                      test_consistency_interval=2,
+                      test_consistency_atol=1e-3))
+    run_test(hp)  # raises on stream/offline drift
+    gen = tmp_path / "conan" / "generated_last"
+    wavs = sorted(gen.glob("*.wav"))
+    assert len(wavs) >= 1
+    man = json.load(open(gen / "infer_manifest.json"))
+    assert man["guard_passed"] and man["guard_checked"] >= 1
+    guards = [it["guard"] for it in man["items"] if it["guard"]]
+    assert guards and all(g["ok"] for g in guards)
+    assert all(it["chunks"] > 0 for it in man["items"])

@@ -135,3 +135,37 @@ def test_distill_model_shapes():
     assert logits.shape == (2, 16, 100)
     out, st = m.step(p, m.init_state(2), jnp.zeros((2, 6, 16)))
     assert out.shape == (2, 4, 100)
+
+
+def test_banded_equals_dense_attention():
+    """The banded (block-windowed) offline attention is numerically identical
+    to the dense masked path, including uneven-length padding masks — the
+    dense path is the oracle (same -inf masking, same softmax support)."""
+    import jax
+
+    cfg = EmformerConfig(input_dim=16, num_heads=4, ffn_dim=32, num_layers=2,
+                         segment_length=4, left_context_length=10,
+                         right_context_length=2, output_dim=20)
+    model = Emformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, n_segs = 3, 7
+    T_in = n_segs * cfg.segment_length + cfg.right_context_length
+    mel = jnp.asarray(rng.standard_normal((B, T_in, 16)).astype(np.float32))
+    lengths = jnp.asarray([T_in, T_in - 5, T_in - 11])
+    for ln in (None, lengths):
+        dense = model.apply(params, mel, ln, banded=False)
+        band = model.apply(params, mel, ln, banded=True)
+        np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+
+    # rc=0 fast variant
+    cfg0 = EmformerConfig(input_dim=16, num_heads=4, ffn_dim=32, num_layers=1,
+                          segment_length=4, left_context_length=10,
+                          right_context_length=0, output_dim=20)
+    m0 = Emformer(cfg0)
+    p0 = m0.init(jax.random.PRNGKey(1))
+    mel0 = jnp.asarray(rng.standard_normal((B, 28, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p0, mel0, banded=True)),
+        np.asarray(m0.apply(p0, mel0, banded=False)), atol=1e-5, rtol=1e-5)
