@@ -147,7 +147,8 @@ def make_vocoder_valid_fn(task, valid_batches: list[dict]):
         for batch in valid_batches:
             gtot, (gl, _) = task._gen_losses(state["params_g"], state["params_d"],
                                              jnp.asarray(batch["mels"]),
-                                             jnp.asarray(batch["wavs"]))
+                                             jnp.asarray(batch["wavs"]),
+                                             jax.random.PRNGKey(0))
             for k, v in gl.items():
                 tot[k] = tot.get(k, 0.0) + float(v)
             tot["total"] = tot.get("total", 0.0) + float(gtot)

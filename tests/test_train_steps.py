@@ -211,3 +211,18 @@ def test_mel_disc_window_fit_gating(rng):
     padded = jnp.concatenate([long[:, :10], jnp.zeros((2, 14, 12))], axis=1)
     _, _, _, fit_dyn = disc.apply(params, padded, key)
     assert not bool(fit_dyn)
+
+
+def test_vocoder_valid_fn_signature(rng):
+    """make_vocoder_valid_fn must track the task's loss signature (a stale
+    call crashed the r3 soak at its first validation)."""
+    from conan_tpu.train.validation import make_vocoder_valid_fn
+
+    task = VocoderTask(VOC_HP)
+    state = jax.device_get(task.init_state(jax.random.PRNGKey(0)))
+    batch = {
+        "mels": rng.standard_normal((2, 12, 80)).astype(np.float32),
+        "wavs": (rng.standard_normal((2, 12 * 320)) * 0.1).astype(np.float32),
+    }
+    vm = make_vocoder_valid_fn(task, [batch])(state, 0)
+    assert np.isfinite(vm["val_loss"])
