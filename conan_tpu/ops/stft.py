@@ -165,7 +165,9 @@ def _hz_to_mel(f: np.ndarray | float, htk: bool = False):
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+    with np.errstate(divide="ignore"):  # f=0 falls in the linear branch of the where
+        return np.where(
+            f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
 
 
 def _mel_to_hz(m: np.ndarray, htk: bool = False):
