@@ -126,7 +126,7 @@ def main() -> None:
     # serving capacity: concurrent streams per chip until RTF >= 1
     capacity = []
     max_streams = 0
-    for B in (8, 16, 32, 64, 128):
+    for B in (8, 16, 32, 64, 128, 256, 512, 1024):
         blo, bmed, bhi = _bench_engine(eng, B, rng, n_lo=25, n_hi=100,
                                        reps=2)
         rtf = blo / chunk_ms

@@ -186,16 +186,17 @@ class Emformer:
             [np.ones((n_segs, rc), bool), valid_utt], axis=1)
         return utt_idx, valid, pos
 
-    def _attention_banded(self, p: Params, x: Array, n_segs: int,
-                          lengths: Array | None) -> Array:
-        """Banded multi-head attention over x = [rc ∥ utt], numerically equal
-        to dense attention under `_offline_mask` (masked keys are exact -inf
-        in both) but computing only the W = rc+L+seg keys each query can see.
+    def _attention_banded_gather(self, p: Params, x: Array, n_segs: int,
+                                 lengths: Array | None) -> Array:
+        """Per-segment banded attention via row GATHER (round-3 variant).
 
-        At production geometry (seg=4, L=50, rc=2 → W=56 of 750 keys) the
-        dense path materializes 93% garbage: [B,H,750,750] score tensors are
-        288 MB/layer and made the 6-layer distill step HBM-bound at 4% MFU
-        (tools/EMFORMER.json).  Banding shrinks score traffic 13x.
+        Kept only as a measured counterexample (tools/EMFORMER.json): the
+        per-segment key windows duplicate each key ~(L+seg)/seg times through
+        a dynamic gather whose VJP is a scatter-add, and the resulting
+        [B, n_segs, rc+seg, H, W] einsums are 6x58 matmuls — both lower
+        poorly on TPU, making this SLOWER than the dense path it was meant
+        to beat.  The shipped banded path is `_attention_banded` (grouped
+        slice-stack windows, no gather).
         """
         cfg = self.cfg
         seg, rc, L = (cfg.segment_length, cfg.right_context_length,
@@ -252,6 +253,144 @@ class Emformer:
             o = jnp.concatenate([o_rc, o_utt], axis=1)
         else:
             o = o.reshape(B, T, D)
+        return _linear(o, p["out"])
+
+    def _blocked_geometry(self, n_segs: int, G: int):
+        """Static mask/bookkeeping for the grouped slice-stack banded path.
+
+        Segments are processed in groups of G.  Group g's queries are the
+        rc+utt rows of segments [gG, gG+G); its keys are those segments' rc
+        blocks plus the CONTIGUOUS utterance window
+        [(gG - pad_segs)·seg, (gG + G)·seg) — segment-aligned so it can be
+        built from plain slices (pad_segs = ceil(L/seg) left blocks, a few
+        over-included positions masked).  Returns
+        (n_pad, n_groups, bias [n_groups, nq, nk], utt_abs [n_groups, nk_utt]).
+        """
+        cfg = self.cfg
+        seg, rc, L = (cfg.segment_length, cfg.right_context_length,
+                      cfg.left_context_length)
+        T = n_segs * seg
+        pad_segs = -(-L // seg)
+        n_pad = -(-n_segs // G) * G
+        n_groups = n_pad // G
+        nq = G * (rc + seg)
+        nk_utt = (pad_segs + G) * seg
+        nk = G * rc + nk_utt
+
+        g = np.arange(n_groups)[:, None, None]            # [ng,1,1]
+        # query row -> segment-within-group
+        q_seg = np.concatenate([np.arange(G * rc) // max(rc, 1),
+                                np.arange(G * seg) // seg])  # [nq]
+        s_abs = g * G + q_seg[None, :, None]               # [ng,nq,1]
+        q_real = s_abs < n_segs
+        # rc key cols: allowed iff same segment (and that segment is real)
+        if rc > 0:
+            k_rc_seg = (np.arange(G * rc) // rc)[None, None, :]
+            rc_ok = (k_rc_seg == q_seg[None, :, None]) & \
+                    (g * G + k_rc_seg < n_segs)
+            rc_ok = np.broadcast_to(rc_ok, (n_groups, nq, G * rc))
+        # utt window cols: absolute positions
+        utt_abs = (g[:, 0] * G - pad_segs) * seg + np.arange(nk_utt)[None, :]
+        a = utt_abs[:, None, :]                            # [ng,1,nk_utt]
+        utt_ok = ((a >= s_abs * seg - L) & (a < (s_abs + 1) * seg)
+                  & (a >= 0) & (a < T))
+        utt_ok = np.broadcast_to(utt_ok, (n_groups, nq, nk_utt))
+        ok = np.concatenate([rc_ok, utt_ok], axis=2) if rc > 0 else utt_ok
+        # padded-query rows are sliced off afterwards, but an all-masked row
+        # would make softmax emit NaN which poisons gradients through 0*NaN;
+        # let them attend uniformly instead.
+        ok = ok | ~np.broadcast_to(q_real, ok.shape)
+        bias = np.where(ok, 0.0, NEG_INF).astype(np.float32)
+        return n_pad, n_groups, bias, utt_abs
+
+    def _attention_banded(self, p: Params, x: Array, n_segs: int,
+                          lengths: Array | None, group: int = 16) -> Array:
+        """Banded multi-head attention over x = [rc ∥ utt], numerically equal
+        to dense attention under `_offline_mask` (masked keys are exact -inf
+        in both) but computing only each query's rc+L+seg-key neighbourhood.
+
+        At production geometry (seg=4, L=50, rc=2) the dense path
+        materializes [B,H,750,750] f32 score tensors — 288 MB/layer, 93% of
+        it -inf — and the distill step is HBM-bound at 4% MFU
+        (tools/EMFORMER.json).  This path groups `group` segments per block:
+        their key windows are merged into ONE contiguous segment-aligned
+        slice (no gather — the VJP is a slice-add, not a scatter) and the
+        score einsum becomes [G(rc+seg)] x [Grc+(pad+G)seg] matmuls that
+        tile the MXU instead of 6x58 crumbs.
+        """
+        cfg = self.cfg
+        seg, rc, L = (cfg.segment_length, cfg.right_context_length,
+                      cfg.left_context_length)
+        B, Ttot, D = x.shape
+        H, Dh = cfg.num_heads, cfg.head_dim
+        nrc = n_segs * rc
+        T = Ttot - nrc
+        G = min(group, n_segs)
+        pad_segs = -(-L // seg)
+        n_pad, n_groups, bias_np, utt_abs = self._blocked_geometry(n_segs, G)
+        nq = G * (rc + seg)
+
+        q = _linear(x, p["q"])
+        kv = _linear(x, p["kv"])
+        k, v = kv[..., :D], kv[..., D:]
+
+        def grouped_queries(a):  # [B,Ttot,D] -> [B,n_groups,nq,D]
+            parts = []
+            if rc > 0:
+                a_rc = jnp.pad(a[:, :nrc], ((0, 0), (0, (n_pad - n_segs) * rc),
+                                            (0, 0)))
+                parts.append(a_rc.reshape(B, n_groups, G * rc, D))
+            a_utt = jnp.pad(a[:, nrc:], ((0, 0), (0, (n_pad - n_segs) * seg),
+                                         (0, 0)))
+            parts.append(a_utt.reshape(B, n_groups, G * seg, D))
+            return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+        def grouped_keys(a):  # [B,Ttot,D] -> [B,n_groups,nk,D]
+            parts = []
+            if rc > 0:
+                a_rc = jnp.pad(a[:, :nrc], ((0, 0), (0, (n_pad - n_segs) * rc),
+                                            (0, 0)))
+                parts.append(a_rc.reshape(B, n_groups, G * rc, D))
+            # utterance windows: pad pad_segs zero segments in front (+ tail
+            # padding), then each group's window is one contiguous slice.
+            a_utt = jnp.pad(a[:, nrc:],
+                            ((0, 0), (pad_segs * seg, (n_pad - n_segs) * seg),
+                             (0, 0)))
+            win = jnp.stack(
+                [jax.lax.slice_in_dim(a_utt, g * G * seg,
+                                      (g * G + pad_segs + G) * seg, axis=1)
+                 for g in range(n_groups)], axis=1)
+            parts.append(win)
+            return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+        qs = grouped_queries(q).reshape(B, n_groups, nq, H, Dh)
+        ks = grouped_keys(k)
+        nk = ks.shape[2]
+        vs = grouped_keys(v).reshape(B, n_groups, nk, H, Dh)
+        ks = ks.reshape(B, n_groups, nk, H, Dh)
+        logits = jnp.einsum("bgqhd,bgkhd->bghqk", qs, ks, precision=_prec(),
+                            preferred_element_type=jnp.float32)
+        logits = logits * (Dh ** -0.5)
+        bias = jnp.asarray(bias_np)[None, :, None]          # [1,ng,1,nq,nk]
+        if lengths is not None:
+            # dense-path semantics: rc keys always valid, utterance key at
+            # absolute position p valid iff p < utt_hi[b]
+            utt_hi = lengths + (T - jnp.max(lengths))
+            lvalid = jnp.asarray(utt_abs)[None] < utt_hi[:, None, None]
+            if rc > 0:
+                lvalid = jnp.concatenate(
+                    [jnp.ones((B, n_groups, G * rc), bool), lvalid], axis=2)
+            bias = bias + jnp.where(lvalid, 0.0,
+                                    NEG_INF)[:, :, None, None, :]
+        probs = jax.nn.softmax(logits + bias, axis=-1)
+        o = jnp.einsum("bghqk,bgkhd->bgqhd", probs, vs, precision=_prec())
+        o = o.reshape(B, n_groups, nq, D)
+        if rc > 0:
+            o_rc = o[:, :, :G * rc].reshape(B, n_pad * rc, D)[:, :nrc]
+            o_utt = o[:, :, G * rc:].reshape(B, n_pad * seg, D)[:, :T]
+            o = jnp.concatenate([o_rc, o_utt], axis=1)
+        else:
+            o = o.reshape(B, n_pad * seg, D)[:, :T]
         return _linear(o, p["out"])
 
     def _layer(self, p: Params, x: Array, bias: Array | None,

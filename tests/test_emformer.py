@@ -169,3 +169,34 @@ def test_banded_equals_dense_attention():
     np.testing.assert_allclose(
         np.asarray(m0.apply(p0, mel0, banded=True)),
         np.asarray(m0.apply(p0, mel0, banded=False)), atol=1e-5, rtol=1e-5)
+
+
+def test_banded_equals_dense_multigroup():
+    """Grouped banded path across group boundaries AND with segment padding
+    (n_segs=21 with group=16 pads 11 garbage segments — outputs for real rows
+    must still match the dense oracle, and gradients must stay finite through
+    the padded-query NaN guard). Production band geometry L=50, seg=4, rc=2."""
+    import jax
+
+    cfg = EmformerConfig(input_dim=16, num_heads=4, ffn_dim=32, num_layers=2,
+                         segment_length=4, left_context_length=50,
+                         right_context_length=2, output_dim=20)
+    model = Emformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    B, n_segs = 2, 21
+    T_in = n_segs * cfg.segment_length + cfg.right_context_length
+    mel = jnp.asarray(rng.standard_normal((B, T_in, 16)).astype(np.float32))
+    lengths = jnp.asarray([T_in, T_in - 7])
+    for ln in (None, lengths):
+        dense = model.apply(params, mel, ln, banded=False)
+        band = model.apply(params, mel, ln, banded=True)
+        np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+
+    def loss(p):
+        return jnp.sum(jnp.square(model.apply(p, mel)))
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)

@@ -53,9 +53,10 @@ def build_step(variant: str):
                          right_context_length=RC, output_dim=100)
     model = Emformer(cfg)
 
-    banded = variant != "dense" and variant != "attn_only_dense"
+    banded = variant not in ("dense", "attn_only_dense")
+    gather = variant in ("banded_gather", "attn_only_gather")
     skip_attn = variant == "ffn_only"
-    skip_ffn = variant in ("attn_only", "attn_only_dense")
+    skip_ffn = variant in ("attn_only", "attn_only_dense", "attn_only_gather")
 
     from conan_tpu.models.emformer import _layer_norm, _linear
 
@@ -63,6 +64,8 @@ def build_step(variant: str):
         xn = _layer_norm(x, p["ln_in"])
         if skip_attn:
             att = xn
+        elif gather:
+            att = model._attention_banded_gather(p, xn, n_segs, lengths)
         elif banded:
             att = model._attention_banded(p, xn, n_segs, lengths)
         else:
@@ -120,8 +123,9 @@ def main():
 
     from conan_tpu.ops.precision import precision_scope
 
-    variants = sys.argv[1:] or ["banded", "dense", "ffn_only", "attn_only",
-                                "attn_only_dense", "d128_probe"]
+    variants = sys.argv[1:] or ["banded", "banded_gather", "dense",
+                                "ffn_only", "attn_only", "attn_only_dense",
+                                "attn_only_gather", "d128_probe"]
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 100, (B, T))
     codes[:, -RC:] = -1
