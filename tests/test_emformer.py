@@ -153,10 +153,19 @@ def test_banded_equals_dense_attention():
     T_in = n_segs * cfg.segment_length + cfg.right_context_length
     mel = jnp.asarray(rng.standard_normal((B, T_in, 16)).astype(np.float32))
     lengths = jnp.asarray([T_in, T_in - 5, T_in - 11])
+    from unittest import mock
+
     for ln in (None, lengths):
         dense = model.apply(params, mel, ln, banded=False)
         band = model.apply(params, mel, ln, banded=True)
         np.testing.assert_allclose(np.asarray(band), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+        # the gather variant is kept as the decomposition-bench
+        # counterexample (tools/EMFORMER.json) — keep it correct too
+        with mock.patch.object(Emformer, "_attention_banded",
+                               Emformer._attention_banded_gather):
+            gat = model.apply(params, mel, ln, banded=True)
+        np.testing.assert_allclose(np.asarray(gat), np.asarray(dense),
                                    atol=1e-5, rtol=1e-5)
 
     # rc=0 fast variant
