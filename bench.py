@@ -23,16 +23,17 @@ Reported (one JSON line):
                      per-chunk ms + aggregate audio-s/s, stopping once
                      RTF ≥ 1 → max streams/chip (the serving-capacity
                      number; reference analog hifigan.py:556-632)
-  extra.trained_composition — same chunk step on the three TRAINED r3 soak
-                     checkpoints (smaller soak sizes, stated inline) when
-                     present under checkpoints/ — the headline stays at
-                     production sizes with random weights (compute-identical
-                     by construction; weights cannot change matmul time)
+  extra.trained_composition — same chunk step on the three TRAINED soak
+                     checkpoints (smaller soak sizes, stated inline), loaded
+                     from the COMMITTED deploy dirs under checkpoints/ — the
+                     headline stays at production sizes with random weights
+                     (compute-identical by construction; weights cannot
+                     change matmul time)
 
 Weights for the headline are random at PRODUCTION sizes: per-chunk device
 time depends on shapes, not values.  The trained-weights end-to-end proof
 (binarize → train ×3 → compose → convert, with the stream-vs-offline guard)
-is the --infer artifact under checkpoints/soak_r3_conan/generated_*.
+is the --infer artifact under checkpoints/soak_r4_conan/generated_*.
 """
 
 from __future__ import annotations
@@ -93,18 +94,29 @@ def _bench_engine(eng, B, rng, n_lo=25, n_hi=200, reps=3):
 
 
 def _trained_engine():
-    """Compose the three r3 soak checkpoints when they exist."""
-    dirs = ("checkpoints/soak_r3_conan", "checkpoints/soak_r3_emf",
-            "checkpoints/soak_r3_voc")
-    if not all(os.path.exists(os.path.join(d, "config.yaml")) for d in dirs):
-        return None
-    try:
-        from conan_tpu.infer.build import build_engine
+    """Compose the three trained soak checkpoints when they exist.
 
-        return build_engine(*dirs)
-    except Exception as e:  # noqa: BLE001
-        print(f"# trained composition unavailable: {e!r}", file=sys.stderr)
-        return None
+    Prefers the COMMITTED inference-only deploy checkpoints
+    (checkpoints/soak_r4_*/deploy, tools/strip_ckpt.py) so the trained
+    composition is reproducible from the repo — round 3's soak weights were
+    never committed and its composition number could not be re-derived."""
+    candidates = (
+        ("checkpoints/soak_r4_conan/deploy", "checkpoints/soak_r4_emf/deploy",
+         "checkpoints/soak_r4_voc/deploy"),
+        ("checkpoints/soak_r4_conan", "checkpoints/soak_r4_emf",
+         "checkpoints/soak_r4_voc"),
+    )
+    for dirs in candidates:
+        if not all(os.path.exists(os.path.join(d, "config.yaml")) for d in dirs):
+            continue
+        try:
+            from conan_tpu.infer.build import build_engine
+
+            return dirs, build_engine(*dirs)
+        except Exception as e:  # noqa: BLE001
+            print(f"# trained composition unavailable: {e!r}", file=sys.stderr)
+            return None
+    return None
 
 
 def main() -> None:
@@ -154,12 +166,43 @@ def main() -> None:
         "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
     }
 
-    trained = _trained_engine()
-    if trained is not None:
+    # fast serving mode: emformer HIGHEST (codes exact), conan+vocoder bf16 —
+    # the capacity headline for deployments that trade bit-exactness for
+    # throughput (quality deltas: tools/SERVING_FAST.json)
+    fast_eng = random_engine(StreamingConfig(), seed=0,
+                             serving_precision="fast")
+    flo, fmed, fhi = _bench_engine(fast_eng, 1, rng)
+    fast_capacity = []
+    fast_max = 0
+    for B in (64, 256, 512, 1024, 2048):
+        blo, bmed, bhi = _bench_engine(fast_eng, B, rng, n_lo=25, n_hi=100,
+                                       reps=2)
+        rtf = blo / chunk_ms
+        fast_capacity.append({"streams": B, "per_chunk_ms": round(blo, 3),
+                              "rtf": round(rtf, 4),
+                              "audio_s_per_s": round(B * chunk_ms / blo, 1)})
+        print(f"# fast B={B}: {blo:.3f} ms/chunk (rtf {rtf:.3f})",
+              file=sys.stderr)
+        if rtf < 1.0:
+            fast_max = B
+        else:
+            break
+    extra["fast_mode"] = {
+        "serving_precision": "fast (emformer HIGHEST, conan+vocoder bf16)",
+        "per_chunk_ms": round(flo, 3),
+        "slope_ms": {"min": round(flo, 3), "median": round(fmed, 3),
+                     "max": round(fhi, 3)},
+        "capacity": fast_capacity,
+        "max_streams_per_chip_rtf_lt_1": fast_max,
+    }
+
+    found = _trained_engine()
+    if found is not None:
+        dirs, trained = found
         tlo, tmed, thi = _bench_engine(trained, 1, rng)
         c = trained.cfg
         extra["trained_composition"] = {
-            "checkpoints": ["soak_r3_emf", "soak_r3_conan", "soak_r3_voc"],
+            "checkpoints": list(dirs),
             "sizes": {"emformer_layers": c.emformer.num_layers,
                       "conan_hidden": c.conan.hidden_size,
                       "voc_channels": c.vocoder.upsample_initial_channel},

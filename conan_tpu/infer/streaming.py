@@ -53,10 +53,27 @@ class StreamingVoiceConversion:
     """Batched multi-stream engine: B concurrent conversions per step.
 
     Weights come from three separately trained checkpoints (reference
-    composition, `inference/Conan.py:34-52`)."""
+    composition, `inference/Conan.py:34-52`).
+
+    ``serving_precision``:
+      "exact" (default) — every matmul at HIGHEST (f32-grade MXU passes);
+        streaming output == offline output at allclose grade, the §4
+        prefix-consistency invariant of the reference held bit-for-bit.
+      "fast" — the Emformer stays HIGHEST (its argmax CODES are the one
+        discretization in the pipeline: bf16 drift flips them, an audible
+        discrete error) while the acoustic model and vocoder matmuls run the
+        TPU-native bf16 DEFAULT.  The waveform is no longer bit-equal to
+        offline but the capacity ceiling rises ~4x (the chunk step is
+        fp32-emulation FLOP-bound at high stream counts; see
+        tools/SERVING_FAST.json for the measured capacity + quality deltas).
+    """
 
     def __init__(self, cfg: StreamingConfig, emformer_params, conan_params,
-                 conan_vq_state, vocoder_params):
+                 conan_vq_state, vocoder_params,
+                 serving_precision: str = "exact"):
+        if serving_precision not in ("exact", "fast"):
+            raise ValueError(f"serving_precision: {serving_precision}")
+        self.serving_precision = serving_precision
         self.cfg = cfg
         self.emformer = EmformerDistillModel(cfg.emformer)
         self.conan = Conan(cfg.conan)
@@ -137,15 +154,23 @@ class StreamingVoiceConversion:
                     style_ctx: dict, f0_noise: Array):
         """mel_chunk [B, seg+rc, 80], f0_noise [B, seg, 1] (this chunk's slice
         of the per-utterance rectified-flow x0; ignored unless f0_gen='flow')
-        → (wav [B, seg*hop, 1], codes, state')."""
+        → (wav [B, seg*hop, 1], codes, state').
+
+        Precision scopes are TRACE-time (ops/precision.py): in fast mode only
+        the continuous-output stages drop to bf16; the Emformer's discrete
+        code path keeps f32-grade matmuls."""
+        from conan_tpu.ops.precision import precision_scope
+
         logits, em_state = self.emformer.step(params["emformer"], state["emformer"],
                                               mel_chunk)
         codes = jnp.argmax(logits, axis=-1)  # [B, seg]
-        ret, conan_state = self.conan.stream_step(params["conan"], state["conan"],
-                                                  codes, style_ctx,
-                                                  f0_noise=f0_noise)
-        wav, voc_state = self.vocoder.step(params["vocoder"], state["vocoder"],
-                                           ret["mel_out"])
+        stage_prec = "default" if self.serving_precision == "fast" else "highest"
+        with precision_scope(stage_prec):
+            ret, conan_state = self.conan.stream_step(params["conan"], state["conan"],
+                                                      codes, style_ctx,
+                                                      f0_noise=f0_noise)
+            wav, voc_state = self.vocoder.step(params["vocoder"], state["vocoder"],
+                                               ret["mel_out"])
         return wav, codes, {"emformer": em_state, "conan": conan_state,
                             "vocoder": voc_state}
 
@@ -269,7 +294,8 @@ class StreamingVoiceConversion:
         return np.asarray(wav[:, : T * cfg.mel.hop, 0])
 
 
-def random_engine(cfg: StreamingConfig | None = None, seed: int = 0) -> StreamingVoiceConversion:
+def random_engine(cfg: StreamingConfig | None = None, seed: int = 0,
+                  serving_precision: str = "exact") -> StreamingVoiceConversion:
     """Engine with random weights — for benchmarks and pipeline tests.
 
     Inits are jitted: one compile + one dispatch instead of hundreds of
@@ -282,4 +308,5 @@ def random_engine(cfg: StreamingConfig | None = None, seed: int = 0) -> Streamin
     vo = HifiGanGenerator(cfg.vocoder)
     return StreamingVoiceConversion(
         cfg, jax.jit(em.init)(k1), jax.jit(co.init)(k2),
-        jax.jit(co.init_vq_state)(k3), jax.jit(vo.init)(k4))
+        jax.jit(co.init_vq_state)(k3), jax.jit(vo.init)(k4),
+        serving_precision=serving_precision)

@@ -135,3 +135,25 @@ def test_fast_system_no_lookahead(rng):
     wav_stream = eng.infer_once(src, ref)
     wav_off = eng.infer_offline(src, ref)
     np.testing.assert_allclose(wav_stream, wav_off, atol=1e-4)
+
+
+def test_fast_serving_precision_mode(rng):
+    """serving_precision='fast' drops conan+vocoder matmuls to the bf16
+    DEFAULT at trace time while the Emformer code path stays HIGHEST.  On the
+    CPU test backend DEFAULT == HIGHEST numerically, so fast output must
+    EQUAL exact output here — this pins the plumbing (scoped trace-time
+    policy, same state/shape contract); the TPU quality/capacity deltas are
+    measured by tools/bench_fast_quality.py -> tools/SERVING_FAST.json."""
+    import pytest
+
+    eng = random_engine(SMALL, seed=3)
+    fast = random_engine(SMALL, seed=3, serving_precision="fast")
+    hop = SMALL.mel.hop
+    src = (rng.standard_normal(hop * 12) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(hop * 16) * 0.1).astype(np.float32)
+    wav_exact, codes_exact = eng.infer_once(src, ref, collect_codes=True)
+    wav_fast, codes_fast = fast.infer_once(src, ref, collect_codes=True)
+    np.testing.assert_array_equal(codes_exact, codes_fast)
+    np.testing.assert_allclose(wav_fast, wav_exact, atol=1e-6)
+    with pytest.raises(ValueError):
+        random_engine(SMALL, seed=3, serving_precision="turbo")

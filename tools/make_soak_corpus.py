@@ -23,6 +23,14 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# Host-side data prep: the jitted mel frontend must run on CPU, not through
+# the axon TPU tunnel (one remote compile per utterance length would blow the
+# runtime).  Env vars don't work here — the sitecustomize overrides them
+# (CLAUDE.md); the config update after import does.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def write_corpus(base: pathlib.Path, rng, n_items: int, n_speakers: int):
     sr, hop = 16000, 320
