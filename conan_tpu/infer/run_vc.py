@@ -41,12 +41,26 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from conan_tpu.data.binarizer import load_wav
-    from conan_tpu.infer.build import build_engine
+    from conan_tpu.infer.build import _load_dir_config, build_engine
 
     from conan_tpu.utils.async_save import AsyncSaver
 
     eng = build_engine(args.conan_dir, args.emformer_dir, args.vocoder_dir)
     sr = eng.cfg.mel.sample_rate
+    # post-vocoder spectral subtraction when configured (reference applies it
+    # inside the NSF registry wrapper, hifigan_nsf.py:81-82)
+    denoise_c = float(_load_dir_config(args.conan_dir).get("vocoder_denoise_c", 0.0) or 0.0)
+
+    def _post(wav: np.ndarray) -> np.ndarray:
+        if denoise_c <= 0:
+            return wav
+        import jax.numpy as jnp
+        from conan_tpu.audio.denoise import spectral_denoise
+
+        m = eng.cfg.mel
+        return np.asarray(spectral_denoise(
+            jnp.asarray(wav[None]), v=denoise_c, n_fft=m.n_fft, hop=m.hop,
+            win_length=m.win_size))[0]
     pairs = json.load(open(args.pairs))
     saver = AsyncSaver()
     ok, failed = 0, []
@@ -61,6 +75,7 @@ def main(argv=None) -> None:
             else:
                 # on-device scan: chunkwise-identical output at device speed
                 wav = eng.infer_once(src, ref, use_scan=True)[0]
+            wav = _post(np.asarray(wav))
             wall = time.time() - t0
             out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

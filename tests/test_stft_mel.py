@@ -230,3 +230,49 @@ def test_ssim_matches_torch_conv_oracle(rng):
     np.testing.assert_allclose(np.asarray(va), vt.detach().numpy(), atol=2e-6)
     ga = jax.grad(lambda x: ssim(x, jnp.asarray(b)).sum())(jnp.asarray(a))
     np.testing.assert_allclose(np.asarray(ga), xt.grad.numpy(), atol=1e-7)
+
+
+# --- iSTFT / spectral denoise (reference hifigan_nsf.py:14-22,81-82) -------
+
+def _torch_denoise(wav, v, n_fft, hop, win):
+    """Oracle for the reference's librosa denoise, via torch.stft/istft
+    (librosa itself is absent from this image; torch implements the same
+    OLA-normalized inverse)."""
+    spec = torch.stft(torch.from_numpy(wav), n_fft, hop_length=hop,
+                      win_length=win, window=torch.hann_window(win),
+                      center=True, pad_mode="constant", return_complex=True)
+    mag = spec.abs().clamp_min(1e-12)
+    scale = (mag - v).clamp_min(0.0) / mag
+    return torch.istft(spec * scale, n_fft, hop_length=hop, win_length=win,
+                       window=torch.hann_window(win), center=True).numpy()
+
+
+@pytest.mark.parametrize("n_fft,hop,win", [(1024, 320, 1024), (512, 160, 512)])
+def test_istft_roundtrip_identity(rng, n_fft, hop, win):
+    from conan_tpu.audio.denoise import istft_realimag
+    from conan_tpu.ops.stft import stft_realimag
+
+    B, T = 2, 6400
+    wav = rng.standard_normal((B, T)).astype(np.float32) * 0.3
+    spec = stft_realimag(jnp.asarray(wav), n_fft=n_fft, hop=hop,
+                         win_length=win, center=True, pad_mode="constant")
+    out = np.asarray(istft_realimag(spec, n_fft=n_fft, hop=hop,
+                                    win_length=win, length=T))
+    # interior samples reconstruct exactly; the first/last hop of a
+    # constant-padded centered stft is attenuated by the pad (librosa too)
+    np.testing.assert_allclose(out[:, hop:-hop], wav[:, hop:-hop],
+                               atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("v", [0.0, 0.05])
+def test_spectral_denoise_matches_torch(rng, v):
+    from conan_tpu.audio.denoise import spectral_denoise
+
+    n_fft, hop, win = 1024, 320, 1024
+    B, T = 2, 6400
+    wav = (rng.standard_normal((B, T)) * 0.2).astype(np.float32)
+    ref = _torch_denoise(wav, v, n_fft, hop, win)
+    got = np.asarray(spectral_denoise(jnp.asarray(wav), v=v, n_fft=n_fft,
+                                      hop=hop, win_length=win))
+    n = min(got.shape[1], ref.shape[1])
+    np.testing.assert_allclose(got[:, :n], ref[:, :n], atol=3e-3, rtol=1e-4)

@@ -11,6 +11,9 @@ set -e
 cd "$(dirname "$0")/.."
 log() { echo "[soak-chain-r4 $(date +%H:%M:%S)] $*"; }
 
+log "spec_stats (postnet normalization — round 3 stalled on this missing step)"
+python -m conan_tpu.data.spec_stats --config egs/soak/postnet.yaml
+
 log "vocoder bf16 (shipped precision)"
 python -m conan_tpu.train.run --config egs/soak/vocoder.yaml \
     --exp_name soak_r4_voc --reset
