@@ -115,6 +115,11 @@ def build_valid_fn(hp, task, kind: str):
     if not os.path.exists(f"{data_dir}/valid_lengths.npy"):
         return None
     n_stats = int(hp.get("num_valid_stats", 16))
+    # reference trainer cap (`utils/commons/trainer.py:196`; vocoder ships
+    # eval_max_batches=5) — applied as an item cap on our fixed batch list
+    emb = int(hp.get("eval_max_batches", -1) or -1)
+    if emb > 0:
+        n_stats = min(n_stats, emb * 4)
     try:
         if kind == "conan":
             from conan_tpu.train.validation import make_conan_valid_fn
@@ -164,7 +169,9 @@ def build_valid_fn(hp, task, kind: str):
             return make_conan_valid_fn(task, batches, work_dir=hp["work_dir"],
                                        vocoder=vocoder,
                                        vocoder_params=vocoder_params,
-                                       sample_rate=hp.get("audio_sample_rate", 16000))
+                                       sample_rate=hp.get("audio_sample_rate", 16000),
+                                       num_plots=int(hp.get("num_valid_plots", 4)),
+                                       infer_interval=int(hp.get("valid_infer_interval", 1)))
         if kind == "emformer":
             from conan_tpu.train.validation import make_emformer_valid_fn
 

@@ -351,9 +351,11 @@ class ConanTask:
                                         opt_g_new, state["opt_g"])
         vq_state = jax.lax.stop_gradient(out["vq_state"]) if self.cfg.style else None
         # discriminator update, gated on disc_start (reference returns None
-        # before disc_start_steps -> no optimizer step at all) and on window
-        # fit (reference skips r/f losses when validity is None)
-        disc_on = step >= hp.get("disc_start_steps", 40000)
+        # before disc_start_steps -> no optimizer step at all), on the
+        # disc_interval grid (Conan.py:170; shipped disc_interval=1) and on
+        # window fit (reference skips r/f losses when validity is None)
+        disc_on = (step >= hp.get("disc_start_steps", 40000)) & (
+            step % hp.get("disc_interval", 1) == 0)
         mel_p = jax.lax.stop_gradient(out["mel_out"])
         (dtot, (dl, d_fit)), grads_d = jax.value_and_grad(
             self._disc_losses, has_aux=True)(state["params_d"], batch["mels"],
@@ -453,7 +455,12 @@ class EmformerTask:
         T = min(logits.shape[1], codes.shape[1])
         logits, codes = logits[:, :T], codes[:, :T]
         mask = codes != -1
-        loss = L.distillation_loss(logits, codes, mask)
+        # temperature-scaled CE × lambda (Emformer.py:15-46,57-58,163-165;
+        # shipped values are 1.0/1.0)
+        loss = L.distillation_loss(
+            logits, codes, mask,
+            temperature=float(self.hp.get("distillation_temperature", 1.0)))
+        loss = loss * float(self.hp.get("lambda_distillation", 1.0))
         acc = L.distillation_accuracy(logits, codes, mask)
         return loss, acc
 

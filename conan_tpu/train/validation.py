@@ -86,14 +86,18 @@ def make_emformer_valid_fn(task, valid_batches: list[dict],
 
 def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None = None,
                         vocoder=None, vocoder_params=None, num_plots: int = 4,
-                        sample_rate: int = 16000):
+                        sample_rate: int = 16000, infer_interval: int = 1):
     """Full-utterance inference on validation items + optional vocoder audio
-    (reference ConanTask.validation_step)."""
+    (reference ConanTask.validation_step).  Plots/audio are produced only on
+    validations where ``step % infer_interval == 0`` (reference
+    valid_infer_interval gate, speech_base.py:208-209; shipped 5000)."""
 
     def valid_fn(state, step: int) -> dict:
         from conan_tpu.audio.pitch import denorm_f0
 
         metrics: dict[str, float] = {}
+        plots = num_plots if (step % max(infer_interval, 1) == 0
+                              or step <= infer_interval) else 0
         n = 0
         for bi, batch in enumerate(valid_batches):
             out = task.model.apply(
@@ -109,7 +113,7 @@ def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None
             metrics["val_loss"] = metrics.get("val_loss", 0.0) + float(
                 sum(losses.values()))
             n += 1
-            if work_dir is not None and bi < num_plots:
+            if work_dir is not None and bi < plots:
                 f0_gt = None
                 if "f0" in batch and "uv" in batch:
                     f0_gt = np.asarray(denorm_f0(jnp.asarray(batch["f0"][0]),
@@ -119,7 +123,7 @@ def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None
                                np.asarray(batch["mels"][0]).T,
                                f0_gt=f0_gt,
                                f0_pred=np.asarray(out["f0_denorm_pred"][0]))
-            if vocoder is not None and bi < num_plots and work_dir is not None:
+            if vocoder is not None and bi < plots and work_dir is not None:
                 # gt + pred audio through the vocoder (reference logs both,
                 # tasks/Conan/Conan.py:203-211)
                 d = os.path.join(work_dir, "valid_wavs")

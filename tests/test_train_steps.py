@@ -226,3 +226,49 @@ def test_vocoder_valid_fn_signature(rng):
     }
     vm = make_vocoder_valid_fn(task, [batch])(state, 0)
     assert np.isfinite(vm["val_loss"])
+
+
+def test_conan_disc_interval_gates_d_update(rng):
+    """disc_interval=2: D params update only on even steps
+    (tasks/Conan/Conan.py:170)."""
+    hp = dict(CONAN_HP, disc_interval=2)
+    task = ConanTask(hp)
+    state = task.init_state(jax.random.PRNGKey(0))
+    B, T, Tr = 2, 96, 32
+    f0 = (rng.standard_normal((B, T)) * 0.5 + 7.5).astype(np.float32)
+    batch = {
+        "content": jnp.asarray(rng.integers(0, 100, (B, T))),
+        "mels": jnp.asarray((rng.standard_normal((B, T, 80)) * 0.5).astype(np.float32)),
+        "ref_mels": jnp.asarray((rng.standard_normal((B, Tr, 80)) * 0.5).astype(np.float32)),
+        "f0": jnp.asarray(f0),
+        "uv": jnp.asarray((rng.random((B, T)) < 0.25).astype(np.float32)),
+    }
+    step = jax.jit(task.train_step)
+    # step 0: 0 % 2 == 0 -> D updates
+    s1, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert _leaf_delta(s1["params_d"], state["params_d"]) > 0
+    # step 1: 1 % 2 != 0 -> D frozen (G still moves)
+    s2, _ = step(s1, batch, jax.random.PRNGKey(2))
+    assert _leaf_delta(s2["params_d"], s1["params_d"]) == 0
+    assert _leaf_delta(s2["params_g"], s1["params_g"]) > 0
+
+
+def test_emformer_distillation_temperature(rng):
+    """Temperature-scaled CE × lambda (Emformer.py:15-46,57-58)."""
+    B, T = 2, 24
+    mel = jnp.asarray((rng.standard_normal((B, T + 2, 16)) * 0.5).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 100, (B, T)))
+    batch = {"mels": mel, "content": codes}
+    t1 = EmformerTask(EMF_HP)
+    base, _ = t1._loss(t1.init_state(jax.random.PRNGKey(0))["params"], batch)
+    t2 = EmformerTask(dict(EMF_HP, distillation_temperature=2.0,
+                           lambda_distillation=3.0))
+    scaled, _ = t2._loss(t2.init_state(jax.random.PRNGKey(0))["params"], batch)
+    # same params, T=2 flattens logits -> CE near ln(100) for random logits;
+    # lambda multiplies. Both must differ from the base and stay finite.
+    assert np.isfinite(float(base)) and np.isfinite(float(scaled))
+    assert abs(float(scaled) - float(base)) > 1e-3
+    # lambda is a pure scale: lambda=3 at T=1 is exactly 3x the base loss
+    t3 = EmformerTask(dict(EMF_HP, lambda_distillation=3.0))
+    tripled, _ = t3._loss(t3.init_state(jax.random.PRNGKey(0))["params"], batch)
+    assert float(tripled) == pytest.approx(3.0 * float(base), rel=1e-6)

@@ -32,7 +32,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-B = 1
+B = 1  # overridden by --streams (capacity-knee decomposition at batch >1)
 N_LO, N_HI, REPS = 25, 200, 3
 
 
@@ -57,6 +57,15 @@ def _slope(scan_fn, state, chunks_lo, chunks_hi):
 
 
 def main():
+    global B
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=1,
+                    help="concurrent streams (batch) to decompose at")
+    args = ap.parse_args()
+    B = args.streams
+
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +96,7 @@ def main():
         fn = jax.jit(lambda st, cs: jax.lax.scan(step, st, cs))
         t0 = time.time()
         mn, med, mx = _slope(fn, init_state, lo, hi)
-        r = {"variant": name, "per_chunk_ms": round(mn, 4),
+        r = {"variant": name, "streams": B, "per_chunk_ms": round(mn, 4),
              "per_chunk_ms_median": round(med, 4),
              "per_chunk_ms_max": round(mx, 4)}
         print(json.dumps(r) + f"  # {time.time() - t0:.0f}s", flush=True)
@@ -135,7 +144,8 @@ def main():
         (m_lo, z_lo), (m_hi, z_hi))
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SERVING_PARTS.json")
+                        "SERVING_PARTS.json" if B == 1
+                        else f"SERVING_PARTS_B{B}.json")
     json.dump(results, open(path, "w"), indent=1)
     print(f"# wrote {path}", file=sys.stderr)
 
