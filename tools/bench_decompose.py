@@ -76,7 +76,8 @@ def bench_vocoder(precision: str):
             (gtot, (gl, y_)), grads_g = _jax.value_and_grad(
                 task._gen_losses, has_aux=True)(state["params_g"],
                                                 state["params_d"],
-                                                batch["mels"], batch["wavs"])
+                                                batch["mels"], batch["wavs"],
+                                                rng)
             upd_g, opt_g = task.opt_g.update(grads_g, state["opt_g"],
                                              state["params_g"])
             params_g = _jax.tree.map(lambda p, u: p + u,
@@ -123,8 +124,8 @@ def bench_vocoder_disc(precision: str):
     results = []
 
     def d_only(task, keep):
-        def masked_d(pd, y, y_):
-            total, out = task._disc_losses(pd, y, y_)
+        def masked_d(pd, mel, y, y_, drng):
+            total, out = task._disc_losses(pd, mel, y, y_, drng)
             kept = {k: v for k, v in out.items() if k in keep}
             return sum(kept.values()), out
 
@@ -134,7 +135,8 @@ def bench_vocoder_disc(precision: str):
             # fixed fake input (stop-gradient surrogate for y_)
             y_d = y * 0.9 + 0.01
             (dtot, dl), grads_d = _jax.value_and_grad(
-                masked_d, has_aux=True)(state["params_d"], y, y_d)
+                masked_d, has_aux=True)(state["params_d"], batch["mels"], y,
+                                        y_d, rng)
             upd_d, opt_d = task.opt_d.update(grads_d, state["opt_d"],
                                              state["params_d"])
             params_d = _jax.tree.map(lambda p, u: p + u,

@@ -39,16 +39,17 @@ N_LO, N_HI, REPS = 25, 200, 3
 def _slope(scan_fn, state, chunks_lo, chunks_hi):
     import jax.numpy as jnp
 
-    # compile both depths first
+    # compile both depths first (lax.scan returns (carry, ys); ys is the
+    # per-chunk sum stack -- the readback target)
     for c in (chunks_lo, chunks_hi):
-        out, _ = scan_fn(state, c)
+        _, out = scan_fn(state, c)
         float(jnp.sum(out))
     slopes = []
     for _ in range(REPS):
         ts = {}
         for n, c in ((N_LO, chunks_lo), (N_HI, chunks_hi)):
             t0 = time.perf_counter()
-            out, _ = scan_fn(state, c)
+            _, out = scan_fn(state, c)
             float(jnp.sum(out))  # readback = hard sync
             ts[n] = time.perf_counter() - t0
         slopes.append((ts[N_HI] - ts[N_LO]) / (N_HI - N_LO) * 1e3)
@@ -125,7 +126,7 @@ def main():
 
     # vocoder step on a fixed mel chunk
     def voc_step(s, c):
-        wav, s2 = eng.vocoder.step(params["vocoder"], s, mel4_fixed + 0 * c[..., 0])
+        wav, s2 = eng.vocoder.step(params["vocoder"], s, mel4_fixed + 0 * c)
         return s2, jnp.sum(wav)
 
     run("vocoder_only", voc_step, eng.vocoder.init_state(B), z_lo, z_hi)
