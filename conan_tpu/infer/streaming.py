@@ -71,7 +71,7 @@ class StreamingVoiceConversion:
     def __init__(self, cfg: StreamingConfig, emformer_params, conan_params,
                  conan_vq_state, vocoder_params,
                  serving_precision: str = "exact"):
-        if serving_precision not in ("exact", "fast"):
+        if serving_precision not in ("exact", "high", "fast"):
             raise ValueError(f"serving_precision: {serving_precision}")
         self.serving_precision = serving_precision
         self.cfg = cfg
@@ -164,7 +164,8 @@ class StreamingVoiceConversion:
         logits, em_state = self.emformer.step(params["emformer"], state["emformer"],
                                               mel_chunk)
         codes = jnp.argmax(logits, axis=-1)  # [B, seg]
-        stage_prec = "default" if self.serving_precision == "fast" else "highest"
+        stage_prec = {"exact": "highest", "high": "high",
+                      "fast": "default"}[self.serving_precision]
         with precision_scope(stage_prec):
             ret, conan_state = self.conan.stream_step(params["conan"], state["conan"],
                                                       codes, style_ctx,
