@@ -29,6 +29,32 @@ def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
     wavfile.write(path, sr, (wav * 32767).astype(np.int16))
 
 
+def postprocess(wav: np.ndarray, mel_cfg, denoise_c: float) -> np.ndarray:
+    """Post-vocoder spectral subtraction (reference applies it inside the NSF
+    registry wrapper, `tasks/tts/vocoder_infer/hifigan_nsf.py:81-82`).
+
+    The wav is zero-padded up to a power-of-two hop-count ladder before the
+    jitted ``spectral_denoise`` call so batch conversion compiles a handful of
+    shapes instead of one per utterance length (~30 s each through the axon
+    remote-compile tunnel), then trimmed back."""
+    if denoise_c <= 0:
+        return wav
+    import jax.numpy as jnp
+
+    from conan_tpu.audio.denoise import spectral_denoise
+
+    n = len(wav)
+    hops = max(64, -(-n // mel_cfg.hop))
+    bucket = 64
+    while bucket < hops:
+        bucket *= 2
+    padded = np.pad(wav, (0, bucket * mel_cfg.hop - n))
+    out = np.asarray(spectral_denoise(
+        jnp.asarray(padded[None]), v=denoise_c, n_fft=mel_cfg.n_fft,
+        hop=mel_cfg.hop, win_length=mel_cfg.win_length))[0]
+    return out[:n]
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser()
@@ -51,16 +77,6 @@ def main(argv=None) -> None:
     # inside the NSF registry wrapper, hifigan_nsf.py:81-82)
     denoise_c = float(_load_dir_config(args.conan_dir).get("vocoder_denoise_c", 0.0) or 0.0)
 
-    def _post(wav: np.ndarray) -> np.ndarray:
-        if denoise_c <= 0:
-            return wav
-        import jax.numpy as jnp
-        from conan_tpu.audio.denoise import spectral_denoise
-
-        m = eng.cfg.mel
-        return np.asarray(spectral_denoise(
-            jnp.asarray(wav[None]), v=denoise_c, n_fft=m.n_fft, hop=m.hop,
-            win_length=m.win_size))[0]
     pairs = json.load(open(args.pairs))
     saver = AsyncSaver()
     ok, failed = 0, []
@@ -75,7 +91,7 @@ def main(argv=None) -> None:
             else:
                 # on-device scan: chunkwise-identical output at device speed
                 wav = eng.infer_once(src, ref, use_scan=True)[0]
-            wav = _post(np.asarray(wav))
+            wav = postprocess(np.asarray(wav), eng.cfg.mel, denoise_c)
             wall = time.time() - t0
             out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

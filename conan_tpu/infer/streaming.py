@@ -59,6 +59,14 @@ class StreamingVoiceConversion:
       "exact" (default) — every matmul at HIGHEST (f32-grade MXU passes);
         streaming output == offline output at allclose grade, the §4
         prefix-consistency invariant of the reference held bit-for-bit.
+      "high" — the Emformer stays HIGHEST while the acoustic model and
+        vocoder run lax.Precision.HIGH (the 3-pass bf16 emulation, ~f32-grade
+        mantissa over the dominant terms at ~3x the bf16 FLOP cost instead of
+        HIGHEST's 6 passes).  The middle rung of the ladder: codes stay exact
+        by construction, the waveform tracks the exact mode far tighter than
+        fast, and the vocoder-bound chunk step (tools/SERVING_PARTS_B64.json:
+        94% vocoder at B=64) sheds about half its matmul time.  Measured
+        capacity/quality rows: tools/SERVING_LADDER.json.
       "fast" — the Emformer stays HIGHEST (its argmax CODES are the one
         discretization in the pipeline: bf16 drift flips them, an audible
         discrete error) while the acoustic model and vocoder matmuls run the

@@ -116,10 +116,12 @@ def build_valid_fn(hp, task, kind: str):
         return None
     n_stats = int(hp.get("num_valid_stats", 16))
     # reference trainer cap (`utils/commons/trainer.py:196`; vocoder ships
-    # eval_max_batches=5) — applied as an item cap on our fixed batch list
+    # eval_max_batches=5) counts BATCHES — translate to an item cap using the
+    # actual per-batch item count each branch below builds (conan batches are
+    # single-item, emformer/vocoder group 4 items per batch)
     emb = int(hp.get("eval_max_batches", -1) or -1)
     if emb > 0:
-        n_stats = min(n_stats, emb * 4)
+        n_stats = min(n_stats, emb * (1 if kind == "conan" else 4))
     try:
         if kind == "conan":
             from conan_tpu.train.validation import make_conan_valid_fn

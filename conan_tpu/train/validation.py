@@ -88,9 +88,12 @@ def make_conan_valid_fn(task, valid_batches: list[dict], *, work_dir: str | None
                         vocoder=None, vocoder_params=None, num_plots: int = 4,
                         sample_rate: int = 16000, infer_interval: int = 1):
     """Full-utterance inference on validation items + optional vocoder audio
-    (reference ConanTask.validation_step).  Plots/audio are produced only on
+    (reference ConanTask.validation_step).  Plots/audio are produced on
     validations where ``step % infer_interval == 0`` (reference
-    valid_infer_interval gate, speech_base.py:208-209; shipped 5000)."""
+    valid_infer_interval gate, speech_base.py:208-209; shipped 5000) AND —
+    a deliberate deviation from reference parity — on every validation with
+    ``step <= infer_interval``, so short soak runs (300 steps under a 5000
+    interval) still leave audio/plot artifacts to inspect."""
 
     def valid_fn(state, step: int) -> dict:
         from conan_tpu.audio.pitch import denorm_f0
