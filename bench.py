@@ -1,110 +1,148 @@
 """Benchmark: per-chunk end-to-end streaming VC latency on one chip.
 
 Measures the fused 3-stage chunk step (Emformer → Conan acoustic → causal
-shuffle vocoder, production sizes, f32) against the reference's headline
-number: ~80 ms per 80 ms chunk on a CUDA GPU (reference README.md:29,208).
+shuffle vocoder, production sizes, exact serving precision) against the
+reference's headline number: ~80 ms per 80 ms chunk on a CUDA GPU (reference
+README.md:29,208).
 
 Timing methodology — the axon tunnel in this container makes naive host-side
 timing meaningless (`block_until_ready` does not actually block; a probe
 "measured" 66× peak FLOPs that way, and per-dispatch overhead is 30-40 ms of
 shared-tunnel noise).  The honest number is the ON-DEVICE chunk step time,
-measured as a SLOPE: `stream_scan` (the chunk loop as one compiled
-`lax.scan`) is timed to a terminal readback at two chunk counts; the
-difference isolates per-chunk device time, cancelling dispatch/sync/tunnel
-overhead exactly.  An 8192³ bf16 matmul chain measured this way reproduces
-88% of v5e peak, validating the method.  On a host-attached deployment the
-per-chunk latency is this device time plus O(0.1 ms) dispatch.
+measured as a SLOPE: the chunk loop (a compiled `lax.scan` inside a
+traced-trip-count `fori_loop` — ONE executable per config) is timed to a
+terminal readback at two repetition counts; the difference isolates
+per-chunk device time, cancelling dispatch/sync/tunnel overhead exactly.
+An 8192³ bf16 matmul chain measured this way reproduces 88% of v5e peak,
+validating the method.  On a host-attached deployment the per-chunk latency
+is this device time plus O(0.1 ms) dispatch.
 
-Reported (one JSON line):
-  value            — production-size single-stream per-chunk ms (min slope)
-  extra.slope_ms   — {min, median, max} over reps (run-to-run spread;
-                     VERDICT r2 weak #3: no variance reporting)
-  extra.capacity   — concurrent-stream sweep B ∈ {1,8,16,32,64,...}:
-                     per-chunk ms + aggregate audio-s/s, stopping once
-                     RTF ≥ 1 → max streams/chip (the serving-capacity
-                     number; reference analog hifigan.py:556-632)
+Driver contract (CLAUDE.md): exactly ONE JSON line on stdout, always.
+Round 4 broke it (rc 124 — unbounded sweeps outran the driver timeout), so
+this harness is now time-budgeted like the reference's bounded 50-run
+average (`/root/reference/tasks/vocoder/hifigan.py:556-632`):
+
+  * the headline JSON is buffered the moment the single-stream measurement
+    lands and is emitted exactly once — at exit, on any exception, or on
+    SIGTERM/SIGINT (the driver's `timeout` kill);
+  * every optional sweep checks a wall-clock budget (BENCH_BUDGET_S,
+    default 420 s) before starting and is skipped, with a note in
+    `extra.skipped`, once the budget is spent;
+  * `value` is the MEDIAN slope — under tunnel contention a noise-inflated
+    t_lo run shrinks one slope and `min` selects exactly that rep (r4's
+    min/med/max tail was 0.140/0.694/0.954 ms vs the independently measured
+    0.76 ms full-step median in tools/SERVING_PARTS.json, a 5× overclaim);
+    min/max stay in `extra.slope_ms` as the environment-noise spread.
+
+Reported:
+  value            — production-size single-stream per-chunk ms (median slope)
+  extra.capacity   — concurrent-stream sweep: per-chunk ms + aggregate
+                     audio-s/s until RTF ≥ 1 → max streams/chip
+  extra.fast_mode  — same for serving_precision="fast" (quality evidence:
+                     tools/SERVING_LADDER.json)
   extra.trained_composition — same chunk step on the three TRAINED soak
-                     checkpoints (smaller soak sizes, stated inline), loaded
-                     from the COMMITTED deploy dirs under checkpoints/ — the
-                     headline stays at production sizes with random weights
-                     (compute-identical by construction; weights cannot
-                     change matmul time)
+                     checkpoints loaded from the COMMITTED deploy dirs under
+                     checkpoints/ (round 5 trains at production geometry, so
+                     the trained number IS the production number)
 
 Weights for the headline are random at PRODUCTION sizes: per-chunk device
 time depends on shapes, not values.  The trained-weights end-to-end proof
-(binarize → train ×3 → compose → convert, with the stream-vs-offline guard)
-is the --infer artifact under checkpoints/soak_r4_conan/generated_*.
+(binarize → train ×3 → compose → convert, with the stream-vs-offline guard
+on every item) is the --infer artifact under checkpoints/soak_r5_conan/.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
+import signal
 import sys
 import time
 
 import numpy as np
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
-def _scan_slope(eng, style, mel, B, n_lo=25, n_hi=200, reps=3):
-    """Per-chunk device ms via two-point scan timing.
-
-    Returns (min, median, max) over ``reps`` slopes — tunnel contention only
-    ever ADDS time, so min is the device number and the spread is the
-    environment noise."""
-    import jax
-    import jax.numpy as jnp
-
-    slopes = []
-    stacks = {}
-    for n in (n_lo, n_hi):
-        stacks[n] = jnp.stack([mel[:, (i % 199) * 4:(i % 199) * 4 + 6]
-                               for i in range(n)])
-    # compile both shapes first (outside the timed region)
-    for n in (n_lo, n_hi):
-        st = eng.init_state(B)
-        wavs, _c, st = eng.stream_scan(st, stacks[n], style)
-        float(jnp.sum(wavs))
-    for _ in range(reps):
-        ts = {}
-        for n in (n_lo, n_hi):
-            st = eng.init_state(B)
-            t0 = time.perf_counter()
-            wavs, _c, st = eng.stream_scan(st, stacks[n], style)
-            float(jnp.sum(wavs))  # readback = hard sync
-            ts[n] = time.perf_counter() - t0
-        slopes.append((ts[n_hi] - ts[n_lo]) / (n_hi - n_lo) * 1e3)
-    return (float(min(slopes)), float(statistics.median(slopes)),
-            float(max(slopes)))
+# single-emission result buffer: filled in progressively, printed exactly once
+RESULT: dict = {
+    "metric": "per-chunk end-to-end streaming VC latency (device, slope-measured)",
+    "value": None,
+    "unit": "ms",
+    "vs_baseline": None,
+    "extra": {"skipped": []},
+}
+_EMITTED = False
 
 
-def _bench_engine(eng, B, rng, n_lo=25, n_hi=200, reps=3):
-    import jax
-    import jax.numpy as jnp
+def emit_once() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
 
-    ref_mel = jnp.asarray(rng.standard_normal((1, 250, 80)).astype(np.float32) * 0.5)
-    style = eng._prepare(ref_mel)
-    mel = jnp.asarray(rng.standard_normal((1, 200 * 4 + 2, 80)).astype(np.float32) * 0.5)
-    if B > 1:
-        style = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:]),
-                             style)
-        mel = jnp.broadcast_to(mel, (B,) + mel.shape[1:])
-    return _scan_slope(eng, style, mel, B, n_lo=n_lo, n_hi=n_hi, reps=reps)
+
+def _on_kill(signum, frame):  # driver timeout → still land the JSON line
+    RESULT["extra"]["skipped"].append(f"killed by signal {signum} "
+                                      f"after {time.time() - T_START:.0f}s")
+    emit_once()
+    os._exit(0)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _bench_engine(eng, B, rng, **kw):
+    """(median, min, max) per-chunk ms — ONE compiled program per (eng, B)
+    (conan_tpu/utils/bench_timing.py: lax.scan chunk loop inside a
+    traced-trip-count fori_loop, timed at two repetition counts).  The old
+    two-scan-lengths variant compiled TWO programs per config — at the
+    observed 15 min/compile cold-tunnel cost that is what killed r4's run."""
+    from conan_tpu.utils.bench_timing import bench_engine_chunk
+
+    med, lo, hi = bench_engine_chunk(eng, B, rng, **kw)
+    return lo, med, hi
+
+
+def _capacity_sweep(eng, rng, batches, chunk_ms, tag, min_budget_s=60.0):
+    """RTF-per-batch-size sweep, budget-aware: each batch size costs two scan
+    compiles, so stop (and say so) once the wall budget is spent."""
+    rows, max_streams = [], 0
+    for B in batches:
+        if remaining() < min_budget_s:
+            RESULT["extra"]["skipped"].append(
+                f"{tag} sweep truncated before B={B} (budget)")
+            break
+        blo, bmed, bhi = _bench_engine(eng, B, rng, n_meas=2)
+        rtf = bmed / chunk_ms
+        rows.append({"streams": B, "per_chunk_ms": round(bmed, 3),
+                     "per_chunk_ms_min": round(blo, 3),
+                     "rtf": round(rtf, 4),
+                     "audio_s_per_s": round(B * chunk_ms / bmed, 1)})
+        print(f"# {tag} B={B}: {bmed:.3f} ms/chunk (rtf {rtf:.3f}) "
+              f"[t={time.time() - T_START:.0f}s]", file=sys.stderr)
+        if rtf < 1.0:
+            max_streams = B
+        else:
+            break
+    return rows, max_streams
 
 
 def _trained_engine():
     """Compose the three trained soak checkpoints when they exist.
 
-    Prefers the COMMITTED inference-only deploy checkpoints
-    (checkpoints/soak_r4_*/deploy, tools/strip_ckpt.py) so the trained
-    composition is reproducible from the repo — round 3's soak weights were
-    never committed and its composition number could not be re-derived."""
+    Prefers the round-5 PRODUCTION-geometry deploy checkpoints
+    (checkpoints/soak_r5_*/deploy — 6-layer emformer / 256-hidden conan /
+    512-channel vocoder, the shipped egs sizes), falling back to the round-4
+    toy-size chain.  Only COMMITTED deploy dirs (tools/strip_ckpt.py) are
+    considered so the trained composition is reproducible from the repo."""
     candidates = (
+        ("checkpoints/soak_r5_conan/deploy", "checkpoints/soak_r5_emf/deploy",
+         "checkpoints/soak_r5_voc/deploy"),
         ("checkpoints/soak_r4_conan/deploy", "checkpoints/soak_r4_emf/deploy",
          "checkpoints/soak_r4_voc/deploy"),
-        ("checkpoints/soak_r4_conan", "checkpoints/soak_r4_emf",
-         "checkpoints/soak_r4_voc"),
     )
     for dirs in candidates:
         if not all(os.path.exists(os.path.join(d, "config.yaml")) for d in dirs):
@@ -120,105 +158,97 @@ def _trained_engine():
 
 
 def main() -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_kill)
+
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    RESULT["extra"]["compile_cache"] = cache_dir
+
     from conan_tpu.infer.streaming import StreamingConfig, random_engine
 
-    t_setup = time.time()
     rng = np.random.default_rng(0)
     eng = random_engine(StreamingConfig(), seed=0)
     hop = eng.cfg.mel.hop
     sr = eng.cfg.mel.sample_rate
     chunk_ms = 4 * hop / sr * 1000.0  # 80 ms of audio per chunk
 
-    lo, med, hi = _bench_engine(eng, 1, rng)
-    per_chunk = lo
-    print(f"# single-stream measured in {time.time() - t_setup:.1f}s "
-          f"(slope min/med/max = {lo:.3f}/{med:.3f}/{hi:.3f} ms)",
-          file=sys.stderr)
-
-    # serving capacity: concurrent streams per chip until RTF >= 1
-    capacity = []
-    max_streams = 0
-    for B in (8, 16, 32, 64, 128, 256, 512, 1024):
-        blo, bmed, bhi = _bench_engine(eng, B, rng, n_lo=25, n_hi=100,
-                                       reps=2)
-        rtf = blo / chunk_ms
-        capacity.append({"streams": B, "per_chunk_ms": round(blo, 3),
-                         "per_chunk_ms_median": round(bmed, 3),
-                         "rtf": round(rtf, 4),
-                         "audio_s_per_s": round(B * chunk_ms / blo, 1)})
-        print(f"# B={B}: {blo:.3f} ms/chunk (rtf {rtf:.3f})", file=sys.stderr)
-        if rtf < 1.0:
-            max_streams = B
-        else:
-            break
-
-    extra = {
-        "rtf": round(per_chunk / chunk_ms, 5),
-        "audio_seconds_per_s_per_stream": round(chunk_ms / per_chunk, 2),
-        "slope_ms": {"min": round(lo, 3), "median": round(med, 3),
-                     "max": round(hi, 3)},
-        "capacity": capacity,
-        "max_streams_per_chip_rtf_lt_1": max_streams,
-        "method": "lax.scan chunk loop timed to terminal readback at two "
-                  "chunk counts; per-chunk = slope (cancels tunnel "
-                  "dispatch overhead; naive block_until_ready does not "
-                  "block through the axon tunnel)",
-        "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
-    }
-
-    # fast serving mode: emformer HIGHEST (codes exact), conan+vocoder bf16 —
-    # the capacity headline for deployments that trade bit-exactness for
-    # throughput (quality deltas: tools/SERVING_FAST.json)
-    fast_eng = random_engine(StreamingConfig(), seed=0,
-                             serving_precision="fast")
-    flo, fmed, fhi = _bench_engine(fast_eng, 1, rng)
-    fast_capacity = []
-    fast_max = 0
-    for B in (64, 256, 512, 1024, 2048):
-        blo, bmed, bhi = _bench_engine(fast_eng, B, rng, n_lo=25, n_hi=100,
-                                       reps=2)
-        rtf = blo / chunk_ms
-        fast_capacity.append({"streams": B, "per_chunk_ms": round(blo, 3),
-                              "rtf": round(rtf, 4),
-                              "audio_s_per_s": round(B * chunk_ms / blo, 1)})
-        print(f"# fast B={B}: {blo:.3f} ms/chunk (rtf {rtf:.3f})",
+    try:
+        # ---- headline: single-stream production-size chunk step ----
+        lo, med, hi = _bench_engine(eng, 1, rng)
+        per_chunk = med
+        RESULT["value"] = round(per_chunk, 3)
+        RESULT["vs_baseline"] = round(80.0 / per_chunk, 2)
+        RESULT["extra"].update({
+            "rtf": round(per_chunk / chunk_ms, 5),
+            "audio_seconds_per_s_per_stream": round(chunk_ms / per_chunk, 2),
+            "slope_ms": {"min": round(lo, 3), "median": round(med, 3),
+                         "max": round(hi, 3)},
+            "method": "single compiled program: lax.scan chunk loop inside a "
+                      "traced-trip-count fori_loop, timed to a terminal "
+                      "readback at two repetition counts; per-chunk = MEDIAN "
+                      "slope over 3 measurements (min is biased low under "
+                      "tunnel contention; spread in slope_ms)",
+            "baseline": "reference ~80 ms/chunk (README.md:29,208, CUDA GPU)",
+            "budget_s": BUDGET_S,
+        })
+        print(f"# single-stream landed at t={time.time() - T_START:.1f}s "
+              f"(slope min/med/max = {lo:.3f}/{med:.3f}/{hi:.3f} ms)",
               file=sys.stderr)
-        if rtf < 1.0:
-            fast_max = B
+
+        # ---- trained composition (round-5 = production geometry) ----
+        found = _trained_engine() if remaining() > 90 else None
+        if found is None and remaining() <= 90:
+            RESULT["extra"]["skipped"].append("trained_composition (budget)")
+        if found is not None:
+            dirs, trained = found
+            tlo, tmed, thi = _bench_engine(trained, 1, rng)
+            c = trained.cfg
+            RESULT["extra"]["trained_composition"] = {
+                "checkpoints": list(dirs),
+                "sizes": {"emformer_layers": c.emformer.num_layers,
+                          "conan_hidden": c.conan.hidden_size,
+                          "voc_channels": c.vocoder.upsample_initial_channel},
+                "production_geometry": bool(
+                    c.emformer.num_layers == eng.cfg.emformer.num_layers
+                    and c.conan.hidden_size == eng.cfg.conan.hidden_size
+                    and c.vocoder.upsample_initial_channel
+                    == eng.cfg.vocoder.upsample_initial_channel),
+                "per_chunk_ms": round(tmed, 3),
+                "slope_ms": {"min": round(tlo, 3), "median": round(tmed, 3),
+                             "max": round(thi, 3)},
+                "rtf": round(tmed / chunk_ms, 5),
+            }
+            print(f"# trained composition {tmed:.3f} ms/chunk "
+                  f"[t={time.time() - T_START:.0f}s]", file=sys.stderr)
+
+        # ---- exact-mode serving capacity: streams/chip until RTF >= 1 ----
+        capacity, max_streams = _capacity_sweep(
+            eng, rng, (64, 256, 512, 1024), chunk_ms, "exact")
+        RESULT["extra"]["capacity"] = capacity
+        RESULT["extra"]["max_streams_per_chip_rtf_lt_1"] = max_streams
+
+        # ---- fast mode: bracket the knee (r4 never reached it) ----
+        if remaining() > 90:
+            fast_eng = random_engine(StreamingConfig(), seed=0,
+                                     serving_precision="fast")
+            fast_capacity, fast_max = _capacity_sweep(
+                fast_eng, rng, (1024, 2048, 4096), chunk_ms, "fast")
+            RESULT["extra"]["fast_mode"] = {
+                "serving_precision": "fast (emformer HIGHEST, conan+vocoder bf16)",
+                "capacity": fast_capacity,
+                "max_streams_per_chip_rtf_lt_1": fast_max,
+            }
         else:
-            break
-    extra["fast_mode"] = {
-        "serving_precision": "fast (emformer HIGHEST, conan+vocoder bf16)",
-        "per_chunk_ms": round(flo, 3),
-        "slope_ms": {"min": round(flo, 3), "median": round(fmed, 3),
-                     "max": round(fhi, 3)},
-        "capacity": fast_capacity,
-        "max_streams_per_chip_rtf_lt_1": fast_max,
-    }
+            RESULT["extra"]["skipped"].append("fast_mode sweep (budget)")
+    except Exception as e:  # noqa: BLE001 — the JSON line must still land
+        RESULT["extra"]["skipped"].append(f"aborted by {type(e).__name__}: {e}")
+        import traceback
 
-    found = _trained_engine()
-    if found is not None:
-        dirs, trained = found
-        tlo, tmed, thi = _bench_engine(trained, 1, rng)
-        c = trained.cfg
-        extra["trained_composition"] = {
-            "checkpoints": list(dirs),
-            "sizes": {"emformer_layers": c.emformer.num_layers,
-                      "conan_hidden": c.conan.hidden_size,
-                      "voc_channels": c.vocoder.upsample_initial_channel},
-            "per_chunk_ms": round(tlo, 3),
-            "slope_ms": {"min": round(tlo, 3), "median": round(tmed, 3),
-                         "max": round(thi, 3)},
-            "rtf": round(tlo / chunk_ms, 5),
-        }
-
-    print(json.dumps({
-        "metric": "per-chunk end-to-end streaming VC latency (device, slope-measured)",
-        "value": round(per_chunk, 3),
-        "unit": "ms",
-        "vs_baseline": round(80.0 / per_chunk, 2),
-        "extra": extra,
-    }))
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        emit_once()
 
 
 if __name__ == "__main__":

@@ -219,6 +219,9 @@ def analytic_ici_projection():
 
 
 def main():
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     if "--projection-only" in sys.argv and os.path.exists("SCALING.json"):
         with open("SCALING.json") as f:
             out = json.load(f)

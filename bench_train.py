@@ -228,6 +228,9 @@ def bench_emformer(precision: str):
 
 
 def main(argv=None):
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     import argparse
     import os
 

@@ -52,8 +52,13 @@ def _load_dir_config(ckpt_dir: str) -> HParams:
 
 
 def build_engine(conan_dir: str, emformer_dir: str, vocoder_dir: str,
-                 hp: HParams | None = None) -> StreamingVoiceConversion:
-    """Load the three stage checkpoints and build the streaming engine."""
+                 hp: HParams | None = None,
+                 serving_precision: str = "exact") -> StreamingVoiceConversion:
+    """Load the three stage checkpoints and build the streaming engine.
+
+    ``serving_precision`` selects the exact/high/fast matmul ladder of the
+    engine (see StreamingVoiceConversion); checkpoints' ``serving_precision``
+    hparam is honored when the caller does not override."""
     hp_conan = hp or _load_dir_config(conan_dir)
     hp_emf = _load_dir_config(emformer_dir)
     hp_voc = _load_dir_config(vocoder_dir)
@@ -70,6 +75,8 @@ def build_engine(conan_dir: str, emformer_dir: str, vocoder_dir: str,
     emformer_params = load_ckpt_state(emformer_dir, "params")
     conan_state = load_ckpt_state(conan_dir)
     vocoder_params = load_ckpt_state(vocoder_dir, "params_g")
+    if serving_precision == "exact" and hp_conan.get("serving_precision"):
+        serving_precision = str(hp_conan["serving_precision"])
     return StreamingVoiceConversion(
         cfg,
         jax.tree.map(jax.numpy.asarray, emformer_params),
@@ -77,4 +84,5 @@ def build_engine(conan_dir: str, emformer_dir: str, vocoder_dir: str,
         jax.tree.map(jax.numpy.asarray, conan_state["vq_state"])
         if conan_state.get("vq_state") is not None else None,
         jax.tree.map(jax.numpy.asarray, vocoder_params),
+        serving_precision=serving_precision,
     )

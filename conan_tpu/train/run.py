@@ -392,6 +392,12 @@ def run_validate(hp) -> None:
 
 
 def main(argv=None) -> None:
+    # cross-process XLA compile cache: the remote-compile tunnel costs
+    # 30 s – 15 min per program; repeat runs (soak chains, --infer after
+    # train) hit the cache in seconds (conan_tpu/utils/bench_timing.py)
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     hp = set_hparams(argv=argv if argv is not None else sys.argv[1:])
     if hp.get("infer"):
         if TASK_ALIASES.get(hp.get("task_cls", "conan")) == "vocoder":

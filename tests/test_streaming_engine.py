@@ -157,3 +157,63 @@ def test_fast_serving_precision_mode(rng):
     np.testing.assert_allclose(wav_fast, wav_exact, atol=1e-6)
     with pytest.raises(ValueError):
         random_engine(SMALL, seed=3, serving_precision="turbo")
+
+
+def test_high_serving_precision_mode(rng):
+    """serving_precision='high' — the middle rung (lax.Precision.HIGH 3-pass
+    bf16 emulation for conan+vocoder under a HIGHEST emformer).  Same CPU
+    plumbing pin as the fast test (CPU backend: HIGH == HIGHEST numerically);
+    the TPU quality/capacity ladder lives in tools/SERVING_LADDER.json."""
+    eng = random_engine(SMALL, seed=3)
+    high = random_engine(SMALL, seed=3, serving_precision="high")
+    hop = SMALL.mel.hop
+    src = (rng.standard_normal(hop * 12) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(hop * 16) * 0.1).astype(np.float32)
+    wav_exact, codes_exact = eng.infer_once(src, ref, collect_codes=True)
+    wav_high, codes_high = high.infer_once(src, ref, collect_codes=True)
+    np.testing.assert_array_equal(codes_exact, codes_high)
+    np.testing.assert_allclose(wav_high, wav_exact, atol=1e-6)
+
+
+def test_build_engine_serving_precision_passthrough(tmp_path, rng):
+    """build_engine forwards serving_precision (and honors a checkpoint's
+    serving_precision hparam) — the ladder tools construct non-exact engines
+    from trained checkpoint dirs through this path."""
+    import os
+
+    import jax
+    import yaml
+
+    from conan_tpu.config import HParams
+    from conan_tpu.infer.build import build_engine
+    from conan_tpu.train.checkpoint import save_checkpoint
+    from conan_tpu.train.tasks import ConanTask, EmformerTask, VocoderTask
+    from tests.test_train_steps import CONAN_HP, EMF_HP, VOC_HP
+
+    dirs = {}
+    for name, task_cls, hp in (
+            ("emformer", EmformerTask,
+             dict(EMF_HP, emformer_input_dim=80, emformer_layers=1)),
+            ("vocoder", VocoderTask, dict(VOC_HP)),
+            ("conan", ConanTask, dict(CONAN_HP))):
+        task = task_cls(HParams(hp))
+        state = task.init_state(jax.random.PRNGKey(0))
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        save_checkpoint(d, 1, jax.device_get(state), hp)
+        yaml.safe_dump(hp, open(f"{d}/config.yaml", "w"))
+        dirs[name] = d
+
+    eng = build_engine(dirs["conan"], dirs["emformer"], dirs["vocoder"],
+                       serving_precision="high")
+    assert eng.serving_precision == "high"
+    # checkpoint-pinned default: conan config carries serving_precision
+    cfg = yaml.safe_load(open(f"{dirs['conan']}/config.yaml"))
+    cfg["serving_precision"] = "fast"
+    yaml.safe_dump(cfg, open(f"{dirs['conan']}/config.yaml", "w"))
+    eng2 = build_engine(dirs["conan"], dirs["emformer"], dirs["vocoder"])
+    assert eng2.serving_precision == "fast"
+    # explicit caller choice still wins
+    eng3 = build_engine(dirs["conan"], dirs["emformer"], dirs["vocoder"],
+                        serving_precision="high")
+    assert eng3.serving_precision == "high"

@@ -233,6 +233,9 @@ def bench_emformer(precision: str):
 
 
 def main():
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     which = sys.argv[1:] or ["vocoder", "conan", "emformer"]
     out = []
     for w in which:

@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from conan_tpu.audio.mel import wav2mel_frontend

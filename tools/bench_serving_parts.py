@@ -58,6 +58,9 @@ def _slope(scan_fn, state, chunks_lo, chunks_hi):
 
 
 def main():
+    from conan_tpu.utils.bench_timing import enable_persistent_cache
+
+    enable_persistent_cache()
     global B
     import argparse
 
