@@ -182,10 +182,33 @@ def weight_norm_init(w: Array) -> dict:
 
 
 def weight_norm_weight(p: dict) -> Array:
-    """Recompose w = g * v / ||v||_per-out-channel."""
+    """Recompose w = g * v / ||v||_per-out-channel.
+
+    Accepts a pre-folded weight (``{"w": ...}``, see ``fold_weight_norm``):
+    inference-only paths can fold once at load instead of recomposing every
+    step (training must keep (v, g) — the reparameterization changes the
+    gradient geometry, which is weight norm's whole point)."""
+    if "w" in p:
+        return p["w"]
     v, g = p["v"], p["g"]
     norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
     return g * v / norm
+
+
+def fold_weight_norm(params):
+    """Pre-fold every weight-normed leaf dict {"v","g",...} in a param pytree
+    into {"w",...} for inference (one-time host cost; removes the per-step
+    norm+scale sweeps over the weights)."""
+    if isinstance(params, dict):
+        if "v" in params and "g" in params:
+            out = {k: fold_weight_norm(x) for k, x in params.items()
+                   if k not in ("v", "g")}
+            out["w"] = weight_norm_weight(params)
+            return out
+        return {k: fold_weight_norm(x) for k, x in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fold_weight_norm(x) for x in params)
+    return params
 
 
 # ---------------------------------------------------------------------------

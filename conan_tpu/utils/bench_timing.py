@@ -42,12 +42,62 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         import jax
         from jax.experimental.compilation_cache import compilation_cache
 
+        # scope by backend: entries AOT-compiled for one platform (or via the
+        # remote tunnel's compile machine) must not be loaded by another —
+        # observed XLA:CPU feature-mismatch warnings ("could lead to SIGILL")
+        # when a mixed dir was shared between CPU test runs and axon runs
+        path = f"{path}-{jax.default_backend()}"
         os.makedirs(path, exist_ok=True)
         compilation_cache.set_cache_dir(path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return path
     except Exception:  # noqa: BLE001 — cache is an accelerator, never a blocker
         return None
+
+
+def make_scan_runner(step_fn):
+    """ONE jitted program for an arbitrary chunk step.
+
+    ``step_fn(params, state, chunk) -> (state', out)`` is scanned over a
+    [N, ...] chunk stack inside a traced-trip-count fori_loop; the summed
+    outputs keep the whole computation live (no DCE).  Params are explicit
+    jit arguments (CLAUDE.md: closing over pytrees bakes weights in as
+    compile-time constants)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(params, state, chunks, reps):
+        def body(_, carry):
+            st, acc = carry
+            st2, outs = jax.lax.scan(lambda s, c: step_fn(params, s, c),
+                                     st, chunks)
+            return (st2, acc + jnp.sum(outs))
+
+        _st, acc = jax.lax.fori_loop(0, reps, body, (state, jnp.float32(0.0)))
+        return acc
+
+    return jax.jit(run)
+
+
+def scan_slope(runner, params, state, chunks, reps_pair=(1, 9), n_meas=3):
+    """Time a ``make_scan_runner`` program: per-chunk device ms as the median
+    slope between two repetition counts (single executable)."""
+    import jax as _jax
+
+    n_chunks = _jax.tree_util.tree_leaves(chunks)[0].shape[0]
+    lo_r, hi_r = reps_pair
+    float(runner(params, state, chunks, lo_r))  # compile
+    slopes = []
+    for _ in range(n_meas):
+        ts = {}
+        for reps in (lo_r, hi_r):
+            t0 = time.perf_counter()
+            acc = runner(params, state, chunks, reps)
+            float(acc)
+            ts[reps] = time.perf_counter() - t0
+        slopes.append((ts[hi_r] - ts[lo_r]) / ((hi_r - lo_r) * n_chunks) * 1e3)
+    return (float(statistics.median(slopes)), float(min(slopes)),
+            float(max(slopes)))
 
 
 def make_chunk_runner(eng):

@@ -70,6 +70,28 @@ def test_streaming_equals_offline(rng):
     np.testing.assert_allclose(np.asarray(y_str), np.asarray(y_off), atol=1e-5, rtol=1e-4)
 
 
+def test_folded_weight_norm_equals_unfolded(rng):
+    """Inference-time weight-norm pre-folding (ops/conv.py fold_weight_norm):
+    folded {"w"} params must reproduce the {"v","g"} recompose bit-for-bit on
+    both the offline and streaming paths (serving uses folding to drop the
+    per-step g·v/||v|| sweeps — tools/bench_vocoder_ceiling.py)."""
+    from conan_tpu.ops.conv import fold_weight_norm
+
+    cfg = HifiGanConfig.from_hparams(dict(SMALL, upsample="shuffle"))
+    gen = HifiGanGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(0))
+    folded = fold_weight_norm(params)
+    mel = jnp.asarray(rng.standard_normal((1, 12, 80)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(gen.apply(folded, mel)),
+                               np.asarray(gen.apply(params, mel)),
+                               atol=1e-6, rtol=1e-6)
+    state_f, state_u = gen.init_state(1), gen.init_state(1)
+    y_f, _ = gen.step(folded, state_f, mel[:, :4])
+    y_u, _ = gen.step(params, state_u, mel[:, :4])
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_streaming_equals_offline_zero_upsample(rng):
     cfg = HifiGanConfig.from_hparams(dict(SMALL, upsample="zero"))
     gen = HifiGanGenerator(cfg)
