@@ -239,15 +239,33 @@ def run_test(hp) -> None:
                 "vocoder_ckpt": hp["vocoder_ckpt"],
                 "consistency_atol": float(hp.get("test_consistency_atol", 1e-3)),
                 "items": []}
+
+    def _p2(n):
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+
     for i in range(len(ds)):
         s = ds[i]
-        style = eng._prepare(jnp.asarray(s["ref_mel"][None]))
-        state = eng.init_state(1)
+        # pad source frames and ref frames onto power-of-two buckets so the
+        # whole split compiles a handful of XLA programs, not one per item
+        # length (~9 min/program through the tunnel).  Exactness: the style
+        # and prosody encoders mask zero frames (nonpadding_mask; aligner
+        # keys via prosody_pad), every source-side op is causal, and both the
+        # streaming and offline paths see identical padded inputs, so
+        # wav[: T·hop] is unchanged (property-tested: prefix consistency).
         T = len(s["content"])
         seg, rc = eng.cfg.seg, eng.cfg.rc
         T_pad = -(-T // seg) * seg
-        mel_src = np.pad(s["mel"], ((0, T_pad - T + rc), (0, 0)), mode="edge")
-        noise = eng.conan.sample_f0_noise(jax.random.PRNGKey(i), 1, T_pad)
+        T_bkt = _p2(T_pad)
+        ref_bkt = _p2(len(s["ref_mel"]))
+        ref_pad = np.pad(s["ref_mel"], ((0, ref_bkt - len(s["ref_mel"])), (0, 0)))
+        style = eng._prepare(jnp.asarray(ref_pad[None]))
+        state = eng.init_state(1)
+        mel_src = np.pad(s["mel"], ((0, T_pad - T), (0, 0)), mode="edge")
+        mel_src = np.pad(mel_src, ((0, T_bkt - T_pad + rc), (0, 0)), mode="edge")
+        noise = eng.conan.sample_f0_noise(jax.random.PRNGKey(i), 1, T_bkt)
         chunks = []
         for t in range(0, T_pad, seg):
             wav, _codes, state = eng._step(state,
@@ -259,9 +277,9 @@ def run_test(hp) -> None:
                     "chunks": len(chunks), "guard": None}
         if check_every > 0 and i % check_every == 0:
             logits = eng.emformer.apply(eng.p_emformer, jnp.asarray(mel_src[None]))
-            codes = jnp.argmax(logits, -1)
+            codes = jnp.argmax(logits, -1)[:, :T_bkt]
             ret = eng.conan.apply(eng.p_conan, codes,
-                                  ref=jnp.asarray(s["ref_mel"][None]),
+                                  ref=jnp.asarray(ref_pad[None]),
                                   vq_state=eng.vq_state, infer=True,
                                   global_step=200000,
                                   initial_noise=noise,
