@@ -86,11 +86,14 @@ def main(argv=None) -> None:
             src = load_wav(pair["source"], sr)
             ref = load_wav(pair["reference"], sr)
             t0 = time.time()
+            # bucket_lengths: one XLA program per power-of-two length bucket
+            # instead of one per utterance length (output unchanged)
             if args.offline:
-                wav = eng.infer_offline(src, ref)[0]
+                wav = eng.infer_offline(src, ref, bucket_lengths=True)[0]
             else:
                 # on-device scan: chunkwise-identical output at device speed
-                wav = eng.infer_once(src, ref, use_scan=True)[0]
+                wav = eng.infer_once(src, ref, use_scan=True,
+                                     bucket_lengths=True)[0]
             wav = postprocess(np.asarray(wav), eng.cfg.mel, denoise_c)
             wall = time.time() - t0
             out_path = pair.get("output") or os.path.splitext(pair["source"])[0] + "_vc.wav"

@@ -213,9 +213,16 @@ class StreamingVoiceConversion:
             wav = wav[None]
         return wav2mel_frontend(jnp.asarray(wav.astype(np.float32)), self.cfg.mel)
 
+    @staticmethod
+    def _p2bucket(n: int, lo: int = 64) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
     def infer_once(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                    collect_codes: bool = False, use_scan: bool = False,
-                   rng=None):
+                   rng=None, bucket_lengths: bool = False):
         """Full streaming conversion of one (or a batch of) utterance(s).
 
         Like the reference engine, the source mel is computed up-front and
@@ -232,16 +239,28 @@ class StreamingVoiceConversion:
         ``use_scan=True`` runs the chunk loop on-device via lax.scan —
         identical output, and immune to per-chunk host-dispatch overhead
         (preferred for recorded-file batch conversion; the python loop is the
-        live-streaming shape where chunks arrive in real time)."""
+        live-streaming shape where chunks arrive in real time).
+
+        ``bucket_lengths=True`` pads the ref mel (zeros — the style/prosody
+        encoders mask zero frames) and, on the scan path, the source length
+        (edge frames — every source-side op is causal) onto power-of-two
+        ladders, so batch conversion over many utterance lengths compiles a
+        handful of XLA programs instead of one per length; output is
+        unchanged (prefix consistency, property-tested)."""
         cfg = self.cfg
         seg, rc = cfg.seg, cfg.rc
         src_mel = self.wav_to_mel(src_wav)
         ref_mel = self.wav_to_mel(ref_wav)
+        if bucket_lengths:
+            ref_mel = jnp.pad(ref_mel, ((0, 0), (0, self._p2bucket(
+                ref_mel.shape[1]) - ref_mel.shape[1]), (0, 0)))
         style_ctx = self._prepare(ref_mel)
         B, T, _ = src_mel.shape
         # pad so T is a segment multiple, then add rc lookahead tail by
         # repeating the last frame (reference tail behavior)
         T_pad = ((T + seg - 1) // seg) * seg
+        if bucket_lengths and use_scan:
+            T_pad = self._p2bucket(T_pad)
         pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
         mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)  # [B, T_pad+rc, 80]
         if cfg.conan.f0_gen == "flow":
@@ -279,17 +298,22 @@ class StreamingVoiceConversion:
 
     # ------------------------------------------------------------------
     def infer_offline(self, src_wav: np.ndarray, ref_wav: np.ndarray,
-                      rng=None) -> np.ndarray:
+                      rng=None, bucket_lengths: bool = False) -> np.ndarray:
         """Non-streaming composition of the three stages (for equivalence
         checks and offline batch conversion). ``rng`` seeds the rectified-flow
         x0 when the acoustic model uses f0_gen='flow' (fixed key by default so
-        the path is deterministic)."""
+        the path is deterministic).  ``bucket_lengths`` as in infer_once."""
         cfg = self.cfg
         seg, rc = cfg.seg, cfg.rc
         src_mel = self.wav_to_mel(src_wav)
         ref_mel = self.wav_to_mel(ref_wav)
+        if bucket_lengths:
+            ref_mel = jnp.pad(ref_mel, ((0, 0), (0, self._p2bucket(
+                ref_mel.shape[1]) - ref_mel.shape[1]), (0, 0)))
         B, T, _ = src_mel.shape
         T_pad = ((T + seg - 1) // seg) * seg
+        if bucket_lengths:
+            T_pad = self._p2bucket(T_pad)
         pad_tail = jnp.repeat(src_mel[:, -1:], T_pad - T + rc, axis=1)
         mel_ext = jnp.concatenate([src_mel, pad_tail], axis=1)
         logits = self.emformer.apply(self.p_emformer, mel_ext)

@@ -159,6 +159,26 @@ def test_fast_serving_precision_mode(rng):
         random_engine(SMALL, seed=3, serving_precision="turbo")
 
 
+def test_bucketed_lengths_identical_output(rng):
+    """bucket_lengths=True (power-of-two padding of ref + scan length) must
+    return the identical waveform/codes — zero-padded ref frames are masked
+    by the style/prosody encoders and the source side is causal, so the
+    [:T·hop] slice is invariant.  This is what bounds run_vc batch-conversion
+    compiles to the bucket ladder."""
+    eng = random_engine(SMALL, seed=1)
+    hop = SMALL.mel.hop
+    src = (rng.standard_normal(hop * 13) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(hop * 11) * 0.1).astype(np.float32)
+    wav_a, codes_a = eng.infer_once(src, ref, collect_codes=True, use_scan=True)
+    wav_b, codes_b = eng.infer_once(src, ref, collect_codes=True, use_scan=True,
+                                    bucket_lengths=True)
+    np.testing.assert_array_equal(codes_a, codes_b)
+    np.testing.assert_allclose(wav_b, wav_a, atol=1e-6)
+    off_a = eng.infer_offline(src, ref)
+    off_b = eng.infer_offline(src, ref, bucket_lengths=True)
+    np.testing.assert_allclose(off_b, off_a, atol=1e-6)
+
+
 def test_high_serving_precision_mode(rng):
     """serving_precision='high' — the middle rung (lax.Precision.HIGH 3-pass
     bf16 emulation for conan+vocoder under a HIGHEST emformer).  Same CPU
