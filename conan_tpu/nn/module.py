@@ -44,6 +44,22 @@ class Stream:
                     weight_norm: bool = True) -> Array:
         w = ops.weight_norm_weight(p) if weight_norm else p["w"]
         b = p.get("b")
+        # lane-packed fast path for 64-channel undilated convs (vocoder tail):
+        # 2.3x at exact-serving precision, identical state layout, both modes
+        # routed the same so streaming == offline stays exact
+        # (ops/packed_conv.py, tools/TAIL_CONV.json)
+        from conan_tpu.ops import packed_conv
+        from conan_tpu.ops.precision import get_precision
+
+        if packed_conv.packable(x.shape[-1], w.shape[0], w.shape[-1],
+                                dilation, x.shape[1]):
+            if self.state is None:
+                return packed_conv.packed_causal_conv1d(
+                    x, w, b, precision=get_precision())
+            y, carry = packed_conv.packed_causal_conv1d_step(
+                x, self.state[path], w, b, precision=get_precision())
+            self.new_state[path] = carry
+            return y
         if self.state is None:
             return ops.causal_conv1d(x, w, b, dilation=dilation)
         y, carry = ops.causal_conv1d_step(x, self.state[path], w, b, dilation=dilation)

@@ -1,8 +1,8 @@
 """Parity tests: conan_tpu.ops.conv vs torch semantics the reference relies on."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
+import jax.numpy as jnp
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -101,3 +101,40 @@ def test_conv2d_matches_torch(rng):
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
         stride=(3, 1), padding=((2, 2), (0, 0))))
     np.testing.assert_allclose(yj, yt, atol=1e-5, rtol=1e-5)
+
+
+def test_packed_causal_conv_matches_lax(rng):
+    """ops/packed_conv.py: the lane-packed C=64 conv (vocoder tail fast
+    path, 2.3x at exact-serving precision — tools/TAIL_CONV.json) must
+    reproduce ops.causal_conv1d in both offline and streaming forms, with
+    the identical [B, k-1, C] carry layout."""
+    import jax
+
+    from conan_tpu.ops import packed_conv
+
+    for k in (3, 7, 11):
+        assert packed_conv.packable(64, 64, k, 1, 16)
+        w = jnp.asarray(rng.standard_normal((64, 64, k)).astype(np.float32) / (k * 8))
+        b = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.standard_normal((2, 16, 64)).astype(np.float32))
+        y_ref = ops.causal_conv1d(x, w, b)
+        y_pk = packed_conv.packed_causal_conv1d(x, w, b, precision="highest")
+        np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                                   atol=1e-5, rtol=1e-5)
+        # streaming: two chunks must equal the offline slices, carry-compatible
+        carry = ops.causal_conv1d_state(2, 64, k)
+        y1, carry = packed_conv.packed_causal_conv1d_step(
+            x[:, :8], carry, w, b, precision="highest")
+        y2, carry = packed_conv.packed_causal_conv1d_step(
+            x[:, 8:], carry, w, b, precision="highest")
+        np.testing.assert_allclose(np.asarray(jnp.concatenate([y1, y2], 1)),
+                                   np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+        # carry layout identical to the lax step path
+        _, carry_lax = ops.causal_conv1d_step(x, ops.causal_conv1d_state(2, 64, k), w, b)
+        np.testing.assert_allclose(np.asarray(carry), np.asarray(carry_lax),
+                                   atol=0, rtol=0)
+    # routing guards: dilated / odd-T / non-64 shapes fall back
+    assert not packed_conv.packable(64, 64, 3, 3, 16)
+    assert not packed_conv.packable(32, 32, 3, 1, 16)
+    assert not packed_conv.packable(64, 64, 3, 1, 15)
+    assert not packed_conv.packable(64, 64, 4, 1, 16)

@@ -119,6 +119,12 @@ def main():
             cfg, exact.p_emformer, exact.p_conan, exact.vq_state,
             exact.p_vocoder, serving_precision=mode)
 
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SERVING_LADDER.json")
+
+    def dump():
+        json.dump(out, open(path, "w"), indent=1)
+
     out = {
         "setup": {
             "checkpoints": list(dirs),
@@ -154,6 +160,7 @@ def main():
                 "mel_l1": float(np.abs(mel_m - mel_exact).mean()),
             }
         out["rungs"][mode] = row
+    dump()
 
     # ---- latency: B=1 and B=64 per rung ----
     for mode, eng in engines.items():
@@ -166,11 +173,14 @@ def main():
                 "audio_s_per_s": round(B * chunk_ms / med, 1)}
             print(f"# {mode} B={B}: {med:.3f} ms/chunk "
                   f"t={time.time() - T0:.0f}s", file=sys.stderr)
+            dump()
 
     # ---- capacity knee per rung (budget-aware) ----
     if not args.no_capacity:
+        # fast B=4096 crashed the TPU worker (671 MB per stage-4 activation
+        # at that batch); 2048 is the sweep cap
         knees = {"exact": (256, 512, 1024), "high": (512, 1024, 2048),
-                 "fast": (1024, 2048, 4096)}
+                 "fast": (1024, 2048)}
         for mode, eng in engines.items():
             rows, best = [], 0
             for B in knees[mode]:
@@ -190,10 +200,9 @@ def main():
                     break
             out["rungs"][mode]["capacity"] = rows
             out["rungs"][mode]["max_streams_rtf_lt_1"] = best
+            dump()
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SERVING_LADDER.json")
-    json.dump(out, open(path, "w"), indent=1)
+    dump()
     print(json.dumps(out, indent=1))
     print(f"# wrote {path}", file=sys.stderr)
 
