@@ -86,6 +86,14 @@ class StreamingVoiceConversion:
         self.emformer = EmformerDistillModel(cfg.emformer)
         self.conan = Conan(cfg.conan)
         self.vocoder = HifiGanGenerator(cfg.vocoder)
+        # inference-only weight-norm pre-folding: drops the per-step
+        # g·v/||v|| recompose sweeps (identical outputs — the folded weight
+        # is the same arithmetic computed once; tools/VOC_CEILING.json
+        # full_folded_wn row).  Training keeps (v, g).
+        from conan_tpu.ops.conv import fold_weight_norm
+
+        conan_params = fold_weight_norm(conan_params)
+        vocoder_params = fold_weight_norm(vocoder_params)
         self.p_emformer = emformer_params
         self.p_conan = conan_params
         self.vq_state = conan_vq_state
