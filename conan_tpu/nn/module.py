@@ -52,7 +52,7 @@ class Stream:
         from conan_tpu.ops.precision import get_precision
 
         if packed_conv.packable(x.shape[-1], w.shape[0], w.shape[-1],
-                                dilation, x.shape[1]):
+                                dilation, x.shape[1], x.shape[0]):
             if self.state is None:
                 return packed_conv.packed_causal_conv1d(
                     x, w, b, precision=get_precision())

@@ -21,8 +21,12 @@ Routing rules (everything else falls back to the lax path):
     (k ∈ {3,7,11}, chunk T multiples of 4)
 
 Numerics: f32 math, different summation grouping → bit-different from the
-lax lowering but well inside every parity tolerance; streaming == offline
-stays EXACT because both paths route identically (regression-tested).
+lax lowering but well inside every parity tolerance.  Streaming and offline
+route identically whenever their matmul M = B·T/p lands on the same side of
+the small-M gate; when a long offline sequence packs while the B=1 chunk
+step falls back, the difference is f32 reassociation only (~1e-7 on the
+waveform, far inside the 1e-3 stream-vs-offline guard tolerance;
+regression-tested at both gate outcomes).
 
 Reference conv being accelerated: `hifigan_causal.py:217-244` ResBlock1.
 """
@@ -40,14 +44,19 @@ Array = jax.Array
 PACK = 2  # pack factor: 2 × 64 channels = 128 lanes
 
 
-def packable(cin: int, cout: int, k: int, dilation: int, T: int) -> bool:
+def packable(cin: int, cout: int, k: int, dilation: int, T: int,
+             batch: int = 1 << 30) -> bool:
     from jax import lax
 
     from conan_tpu.ops.precision import get_precision
 
     return (get_precision() == lax.Precision.HIGHEST
             and dilation == 1 and cin == 64 and cout == 64
-            and (k - 1) % PACK == 0 and T % PACK == 0)
+            and (k - 1) % PACK == 0 and T % PACK == 0
+            # small-M gate: at B=1 the extra reshape/concat per conv costs
+            # more than the lane win (packed matmul M = B·T/p); route only
+            # when the matmul is big enough to be MXU-bound
+            and batch * (T // PACK) >= 4096)
 
 
 @functools.lru_cache(maxsize=None)

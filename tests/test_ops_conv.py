@@ -113,7 +113,7 @@ def test_packed_causal_conv_matches_lax(rng):
     from conan_tpu.ops import packed_conv
 
     for k in (3, 7, 11):
-        assert packed_conv.packable(64, 64, k, 1, 16)
+        assert packed_conv.packable(64, 64, k, 1, 16, 1024)
         w = jnp.asarray(rng.standard_normal((64, 64, k)).astype(np.float32) / (k * 8))
         b = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * 0.1)
         x = jnp.asarray(rng.standard_normal((2, 16, 64)).astype(np.float32))
@@ -133,8 +133,9 @@ def test_packed_causal_conv_matches_lax(rng):
         _, carry_lax = ops.causal_conv1d_step(x, ops.causal_conv1d_state(2, 64, k), w, b)
         np.testing.assert_allclose(np.asarray(carry), np.asarray(carry_lax),
                                    atol=0, rtol=0)
-    # routing guards: dilated / odd-T / non-64 shapes fall back
-    assert not packed_conv.packable(64, 64, 3, 3, 16)
-    assert not packed_conv.packable(32, 32, 3, 1, 16)
-    assert not packed_conv.packable(64, 64, 3, 1, 15)
-    assert not packed_conv.packable(64, 64, 4, 1, 16)
+    # routing guards: dilated / odd-T / non-64 / small-batch shapes fall back
+    assert not packed_conv.packable(64, 64, 3, 3, 16, 1024)
+    assert not packed_conv.packable(32, 32, 3, 1, 16, 1024)
+    assert not packed_conv.packable(64, 64, 3, 1, 15, 1024)
+    assert not packed_conv.packable(64, 64, 4, 1, 16, 1024)
+    assert not packed_conv.packable(64, 64, 3, 1, 640, 1)  # M too small

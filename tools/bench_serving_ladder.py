@@ -176,31 +176,35 @@ def main():
             dump()
 
     # ---- capacity knee per rung (budget-aware) ----
+    # ordered SAFE-FIRST: B>=1024 programs intermittently CRASH the TPU
+    # worker (observed twice: exact B=1024 and high/fast B>=1024 — huge
+    # stage-4 activations); running risky points last means a crash only
+    # loses the remaining points, and the incremental dump keeps the rest.
     if not args.no_capacity:
-        # fast B=4096 crashed the TPU worker (671 MB per stage-4 activation
-        # at that batch); 2048 is the sweep cap
-        knees = {"exact": (256, 512, 1024), "high": (512, 1024, 2048),
-                 "fast": (1024, 2048)}
-        for mode, eng in engines.items():
-            rows, best = [], 0
-            for B in knees[mode]:
-                if time.time() - T0 > args.budget:
-                    rows.append({"truncated_at": B, "reason": "budget"})
-                    break
-                med, lo, hi = _bench(eng, B, rng, n_meas=2)
-                rtf = med / chunk_ms
-                rows.append({"streams": B, "per_chunk_ms": round(med, 3),
-                             "rtf": round(rtf, 4),
-                             "audio_s_per_s": round(B * chunk_ms / med, 1)})
-                print(f"# {mode} capacity B={B}: {med:.3f} ms (rtf {rtf:.3f}) "
-                      f"t={time.time() - T0:.0f}s", file=sys.stderr)
-                if rtf < 1.0:
-                    best = B
-                else:
-                    break
-            out["rungs"][mode]["capacity"] = rows
-            out["rungs"][mode]["max_streams_rtf_lt_1"] = best
+        plan = [("exact", 256), ("exact", 512), ("high", 512),
+                ("fast", 1024), ("high", 1024), ("fast", 2048),
+                ("exact", 1024)]
+        for mode in engines:
+            out["rungs"][mode]["capacity"] = []
+        for mode, B in plan:
+            if time.time() - T0 > args.budget:
+                out["rungs"][mode]["capacity"].append(
+                    {"truncated_at": B, "reason": "budget"})
+                break
+            med, lo, hi = _bench(engines[mode], B, rng, n_meas=2)
+            rtf = med / chunk_ms
+            out["rungs"][mode]["capacity"].append(
+                {"streams": B, "per_chunk_ms": round(med, 3),
+                 "rtf": round(rtf, 4),
+                 "audio_s_per_s": round(B * chunk_ms / med, 1)})
+            print(f"# {mode} capacity B={B}: {med:.3f} ms (rtf {rtf:.3f}) "
+                  f"t={time.time() - T0:.0f}s", file=sys.stderr)
             dump()
+        for mode in engines:
+            rows = [r for r in out["rungs"][mode]["capacity"] if "rtf" in r]
+            out["rungs"][mode]["max_streams_rtf_lt_1"] = max(
+                [r["streams"] for r in rows if r["rtf"] < 1.0], default=0)
+        dump()
 
     dump()
     print(json.dumps(out, indent=1))
