@@ -224,17 +224,23 @@ def main() -> None:
                   f"[t={time.time() - T_START:.0f}s]", file=sys.stderr)
 
         # ---- exact-mode serving capacity: streams/chip until RTF >= 1 ----
+        # capped at 512: B=1024 exact reproducibly CRASHES the TPU worker
+        # (3 observed; tools/SERVING_LADDER.json carries the evidence that
+        # 1024 is past RTF 1 regardless — pre-packing measurement rtf 1.41)
         capacity, max_streams = _capacity_sweep(
-            eng, rng, (64, 256, 512, 1024), chunk_ms, "exact")
+            eng, rng, (64, 256, 512), chunk_ms, "exact")
         RESULT["extra"]["capacity"] = capacity
         RESULT["extra"]["max_streams_per_chip_rtf_lt_1"] = max_streams
+        RESULT["extra"]["capacity_note"] = (
+            "exact sweep capped at 512 (B=1024 crashes the TPU worker; its "
+            "rtf is >1 by tools/SERVING_LADDER.json evidence)")
 
-        # ---- fast mode: bracket the knee (r4 never reached it) ----
+        # ---- fast mode: bracket the knee (capped at 2048 — 4096 crashed) ----
         if remaining() > 90:
             fast_eng = random_engine(StreamingConfig(), seed=0,
                                      serving_precision="fast")
             fast_capacity, fast_max = _capacity_sweep(
-                fast_eng, rng, (1024, 2048, 4096), chunk_ms, "fast")
+                fast_eng, rng, (1024, 2048), chunk_ms, "fast")
             RESULT["extra"]["fast_mode"] = {
                 "serving_precision": "fast (emformer HIGHEST, conan+vocoder bf16)",
                 "capacity": fast_capacity,
