@@ -64,6 +64,12 @@ def main(argv=None) -> None:
     ap.add_argument("--vocoder_dir", required=True)
     ap.add_argument("--offline", action="store_true",
                     help="use the offline 3-stage composition instead of streaming")
+    ap.add_argument("--serving_precision", default="exact",
+                    choices=("exact", "high", "fast"),
+                    help="matmul-precision ladder for the conan/vocoder stages "
+                         "(the emformer always runs HIGHEST, so content codes "
+                         "are identical in every rung; quality/throughput "
+                         "evidence: tools/SERVING_LADDER.json)")
     args = ap.parse_args(argv)
 
     from conan_tpu.data.binarizer import load_wav
@@ -71,7 +77,8 @@ def main(argv=None) -> None:
 
     from conan_tpu.utils.async_save import AsyncSaver
 
-    eng = build_engine(args.conan_dir, args.emformer_dir, args.vocoder_dir)
+    eng = build_engine(args.conan_dir, args.emformer_dir, args.vocoder_dir,
+                       serving_precision=args.serving_precision)
     sr = eng.cfg.mel.sample_rate
     # post-vocoder spectral subtraction when configured (reference applies it
     # inside the NSF registry wrapper, hifigan_nsf.py:81-82)

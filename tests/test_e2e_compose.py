@@ -55,6 +55,18 @@ def test_compose_and_run_vc(tmp_path, rng):
     assert sr == 16000 and len(wav) > 16000 // 2
     assert np.abs(wav).max() > 0
 
+    # --serving_precision plumbs the ladder through the CLI; codes are exact
+    # in every rung (emformer stays HIGHEST) so output stays close to exact
+    pairs[0]["output"] = str(tmp_path / "out" / "converted_high.wav")
+    json.dump(pairs, open(pairs_path, "w"))
+    main(["--pairs", pairs_path, "--conan_dir", dirs["conan"],
+          "--emformer_dir", dirs["emformer"], "--vocoder_dir", dirs["vocoder"],
+          "--serving_precision", "high"])
+    sr2, wav_high = wavfile.read(pairs[0]["output"])
+    assert sr2 == sr and wav_high.shape == wav.shape
+    # int16 wavs; high-rung drift is ~1e-5 full-scale (SERVING_LADDER.json)
+    assert np.abs(wav_high.astype(np.int32) - wav.astype(np.int32)).max() <= 2
+
 
 def test_postprocess_denoise(rng):
     """run_vc.postprocess: denoise returns the input length, attenuates a
