@@ -176,7 +176,11 @@ def main() -> None:
 
     try:
         # ---- headline: single-stream production-size chunk step ----
-        lo, med, hi = _bench_engine(eng, 1, rng)
+        # B=1 slope noise is tunnel-readback jitter (±300 ms) over the rep
+        # delta: widen reps_pair (traced trip count — same executable) so the
+        # denominator is 64·50 chunks, not 8·50 (r5 smoke saw a -1.4 ms "min"
+        # at the default pair), and take the median of 5 slopes.
+        lo, med, hi = _bench_engine(eng, 1, rng, reps_pair=(1, 65), n_meas=5)
         per_chunk = med
         RESULT["value"] = round(per_chunk, 3)
         RESULT["vs_baseline"] = round(80.0 / per_chunk, 2)
@@ -203,7 +207,8 @@ def main() -> None:
             RESULT["extra"]["skipped"].append("trained_composition (budget)")
         if found is not None:
             dirs, trained = found
-            tlo, tmed, thi = _bench_engine(trained, 1, rng)
+            tlo, tmed, thi = _bench_engine(trained, 1, rng,
+                                           reps_pair=(1, 65), n_meas=5)
             c = trained.cfg
             RESULT["extra"]["trained_composition"] = {
                 "checkpoints": list(dirs),
